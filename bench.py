@@ -1,0 +1,86 @@
+"""Headline benchmark: MCTS self-play games/min/chip at 400 rollouts/move.
+
+BASELINE.json north star: >= 5,000 full 9x9 self-play games/min on a
+v5e-8 (625 games/min/chip) at 400 rollouts/move with exact rule parity.
+``vs_baseline`` is measured games/min/chip divided by 625.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    # Scale the measurement to the platform so CI on CPU still produces a
+    # number; the driver runs this on one real TPU chip.
+    if on_tpu:
+        batch, n_moves, n_rollouts = 512, 80, 400
+    else:
+        batch, n_moves, n_rollouts = 8, 4, 8
+
+    from bokego_tpu.config import SearchConfig
+    from bokego_tpu.coords import PASS_ACTION
+    from bokego_tpu.env import rules, state as st
+    from bokego_tpu.search import mcts
+
+    cfg = SearchConfig(
+        expand_thresh=100,
+        no_sim=True,
+        max_turns=80,
+        max_nodes=768,
+        n_rollouts=n_rollouts,
+    )
+    ev = mcts.net_evaluator(has_value=True)
+    from bokego_tpu.models import init_policy, init_value
+
+    params = {
+        "policy": init_policy(jax.random.PRNGKey(0)),
+        "value": init_value(jax.random.PRNGKey(1)),
+    }
+
+    @jax.jit
+    def one_move(rng, states, done):
+        actions, _ = mcts.search(rng, states, ev, params, cfg, n_rollouts)
+        actions = jnp.where(done, PASS_ACTION, actions)
+        nxt = rules.step_batch(states, actions)
+        done = done | rules.is_terminal_batch(nxt, cfg.max_turns)
+        return nxt, done
+
+    rng = jax.random.PRNGKey(42)
+    states = st.new_game_batch(batch)
+    done = jnp.zeros((batch,), bool)
+
+    # warmup/compile
+    rng, r = jax.random.split(rng)
+    w_states, w_done = one_move(r, states, done)
+    jax.block_until_ready(w_states.board)
+
+    t0 = time.monotonic()
+    for _ in range(n_moves):
+        rng, r = jax.random.split(rng)
+        states, done = one_move(r, states, done)
+    jax.block_until_ready(states.board)
+    dt = time.monotonic() - t0
+
+    games_per_min_per_chip = batch * 60.0 / dt / jax.device_count()
+    out = {
+        "metric": f"selfplay games/min/chip (9x9, {n_rollouts} rollouts/move, "
+        f"{n_moves} moves, batch {batch})",
+        "value": round(games_per_min_per_chip, 2),
+        "unit": "games/min/chip",
+        "vs_baseline": round(games_per_min_per_chip / 625.0, 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

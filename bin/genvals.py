@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Value-net data generation CLI (reference: bin/genvals.py intent).
+
+Generates labeled positions in device batches and appends them (×8 dihedral
+augmentation) to a CSV consumable by bin/train.py.
+"""
+
+import argparse
+
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser(description="generate data for value net")
+    p.add_argument("-n", metavar="N", type=int, default=1,
+                   help="number of games to generate, in thousands")
+    p.add_argument("-o", metavar="PATH", required=True, help="output csv")
+    p.add_argument("--sl", help="SL policy checkpoint (orbax dir or .pt)")
+    p.add_argument("--rl", help="RL policy checkpoint (orbax dir or .pt)")
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-augment", action="store_true")
+    args = p.parse_args()
+
+    from bokego_tpu.cli import load_variables
+    from bokego_tpu.train import genvals
+
+    sl_vars = load_variables(args.sl, "policy")
+    rl_vars = load_variables(args.rl, "policy") if args.rl else sl_vars
+
+    total = args.n * 1000
+    rng = jax.random.PRNGKey(args.seed)
+    gen = jax.jit(
+        lambda r: genvals.generate(r, sl_vars, rl_vars, args.batch)
+    )
+    written = 0
+    while written < total:
+        rng, sub = jax.random.split(rng)
+        samples = gen(sub)
+        rows = genvals.samples_to_rows(samples)
+        genvals.write_csv(args.o, rows, augment=not args.no_augment)
+        written += len(rows)
+        print(f"{written}/{total} positions")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""CLI entry point — the ``boke.py`` equivalent (boke.py:14-45).
+
+Flags mirror the reference launcher: ``-t`` seconds per move, ``-r``
+rollouts per move (actually wired here, unlike boke.py:17 which parsed but
+dropped it), ``-p``/``-v`` checkpoint paths (reference torch ``.pt`` or our
+orbax directories), ``--simulate`` to enable playout rollouts.  ``-g`` is
+accepted for interface parity; device selection is JAX's (TPU when present).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=f"bokego-tpu GTP engine")
+    p.add_argument("-t", metavar="SEC", type=float, dest="t", default=10.0,
+                   help="time limit in seconds for each move")
+    p.add_argument("-r", dest="r", type=int, default=None,
+                   help="number of rollouts per move (overrides -t)")
+    p.add_argument("-p", metavar="PATH", type=str, dest="p", default=None,
+                   help="path to policy weights (.pt or orbax dir)")
+    p.add_argument("-v", metavar="PATH", type=str, dest="v", default=None,
+                   help="path to value weights (.pt or orbax dir)")
+    p.add_argument("-g", "--gpu", action="store_true",
+                   help="accepted for parity; accelerator choice is JAX's")
+    p.add_argument("--simulate", action="store_true",
+                   help="enable simulations to end of game")
+    p.add_argument("--forest", type=int, default=1,
+                   help="number of root-parallel trees")
+    p.add_argument("--no-ponder", action="store_true",
+                   help="disable pondering between commands")
+    return p
+
+
+def load_variables(path: str | None, kind: str):
+    """Load net variables from a torch .pt checkpoint, an orbax directory,
+    or fall back to random init (the reference's default weights are
+    LFS-missing — SURVEY.md §5 checkpoint notes)."""
+    import jax
+
+    from bokego_tpu.models import convert, init_policy, init_value
+
+    if path and path.endswith(".pt") and os.path.exists(path):
+        return convert.load_policy(path) if kind == "policy" else convert.load_value(path)
+    if path and os.path.isdir(path):
+        from bokego_tpu.train import checkpoints
+
+        return checkpoints.load_variables(path)
+    return (init_policy if kind == "policy" else init_value)(jax.random.PRNGKey(0))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    # Allow forcing a backend (e.g. BOKEGO_TPU_PLATFORM=cpu for host-side
+    # engine-vs-engine matches where two processes can't share one chip).
+    platform = os.environ.get("BOKEGO_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    from bokego_tpu.config import EngineConfig, SearchConfig
+    from bokego_tpu.gtp.engine import GTPEngine
+    from bokego_tpu.search.mcts import net_evaluator
+
+    policy_vars = load_variables(args.p, "policy")
+    value_vars = load_variables(args.v, "value")
+    params = {"policy": policy_vars, "value": value_vars}
+
+    scfg = SearchConfig(no_sim=not args.simulate)
+    ecfg = EngineConfig(
+        time_lim=None if args.r else args.t,
+        n_rollouts=args.r,
+        pondering=not args.no_ponder,
+        forest_size=args.forest,
+    )
+    engine = GTPEngine(net_evaluator(has_value=True), params, scfg, ecfg)
+    engine.start()
+
+
+if __name__ == "__main__":
+    main()

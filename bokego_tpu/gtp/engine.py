@@ -1,0 +1,508 @@
+"""Go Text Protocol engine driving the batched device search.
+
+Protocol parity with the reference GTP frontend (gtp.py:16-399): the same
+command table (gtp.py:36-42), response framing (``={id} ...`` /
+``?{id} ...``), pondering between inputs (gtp.py:63-92), single-level undo
+(gtp.py:216-225), out-of-turn PASS insertion (gtp.py:174-186), surrender
+rule (winrate < 0.1 after turn 50, gtp.py:339-342), timed or count-limited
+rollouts (gtp.py:344-372), and Sabaki ``analyze`` streaming (gtp.py:374-399).
+
+Architectural departure (SURVEY.md §1 note): the reference *subclasses*
+MCTS so protocol and tree share one object; here the protocol is a host
+loop and the search state is a device-resident array tree (or a *forest* of
+``forest_size`` root-parallel trees whose visit counts are summed at choose
+— the reference's unfinished ``Forest``, gtp.py:403-448, done properly as a
+batch axis).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+from threading import Thread
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bokego_tpu import sgf
+from bokego_tpu.config import EngineConfig, SearchConfig
+from bokego_tpu.coords import (
+    FLOWERS9,
+    NN,
+    PASS,
+    PASS_ACTION,
+    RESIGN,
+    from_action,
+    squash,
+    to_action,
+    unsquash,
+)
+from bokego_tpu.env import rules, state as st
+from bokego_tpu.search import mcts
+
+NAME = "bokego-tpu"
+VERSION = "0.1"
+
+COMMANDS = (
+    "name", "boardsize", "clear_board", "komi",
+    "play", "genmove", "reg_genmove", "final_score",
+    "quit", "version", "showboard", "clear_cache",
+    "last_move", "move_history", "undo", "help",
+    "known_command", "protocol_version", "list_commands",
+    "set_fixed_handicap", "printsgf", "loadsgf",
+    "analyze", "pondering",
+)
+
+COLORS = ("black", "b", "w", "white")
+
+PONDER_CHUNK = 10  # rollouts per ponder iteration (gtp.py:72)
+ROLLOUT_CHUNK = 8  # rollouts per device dispatch in timed mode
+
+
+class GTPEngine:
+    """GTP v2 engine; reads stdin/writes stdout, or a pipe-like connection."""
+
+    def __init__(
+        self,
+        evaluator: mcts.Evaluator,
+        params,
+        search_cfg: SearchConfig = SearchConfig(),
+        engine_cfg: EngineConfig = EngineConfig(),
+        connection=None,
+        seed: int = 0,
+    ):
+        self.ev = evaluator
+        self.params = params
+        self.scfg = search_cfg
+        self.ecfg = engine_cfg
+        self._conn = connection
+        self.pondering = engine_cfg.pondering
+        self.time_lim = engine_cfg.time_lim
+        self.n_rollouts = engine_cfg.n_rollouts
+        self.forest = max(1, engine_cfg.forest_size)
+        self._rng = jax.random.PRNGKey(seed)
+
+        cfg = search_cfg
+        self._jit_init = jax.jit(
+            lambda rng, s, p: mcts.init_trees(rng, s, self.ev, p, cfg)
+        )
+        self._jit_run = jax.jit(
+            lambda rng, t, p: mcts.run_search(rng, t, self.ev, p, cfg, ROLLOUT_CHUNK)
+        )
+        self._w = mcts._mix_weight(cfg, self.ev.has_value)
+
+        self.running = False
+        self._input: list[str | None] = [None]
+        self._move_history: list[int] = []
+        self._last_state = None
+        self._undid = False
+        self.state = st.new_game(engine_cfg.komi)
+        self.trees = None
+
+    # -- tree management ----------------------------------------------------
+
+    def _next_rng(self):
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+    def _rebuild(self):
+        """Fresh forest rooted at the current state."""
+        batch = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.forest,) + x.shape), self.state
+        )
+        self.trees = self._jit_init(self._next_rng(), batch, self.params)
+
+    def _ensure_tree(self):
+        if self.trees is None:
+            self._rebuild()
+
+    def rollout(self, n: int):
+        """Do ~n rollouts (rounded up to whole device chunks)."""
+        self._ensure_tree()
+        done = 0
+        while done < n:
+            self.trees = self._jit_run(self._next_rng(), self.trees, self.params)
+            done += ROLLOUT_CHUNK
+
+    def timed_rollout(self, seconds: float):
+        """Roll out until the wall clock expires (gtp.py:368-372)."""
+        self._ensure_tree()
+        t0 = time.monotonic()
+        while time.monotonic() < t0 + seconds:
+            self.trees = self._jit_run(self._next_rng(), self.trees, self.params)
+        jax.block_until_ready(self.trees.visits)
+
+    def winrate(self) -> float | None:
+        if self.trees is None:
+            return None
+        t0 = jax.tree.map(lambda x: x[0], self.trees)
+        n = int(t0.visits[int(t0.root)])
+        if n == 0:
+            return 0.0
+        return float(mcts.root_winrate(t0, self._w))
+
+    def _root_child_visits(self) -> dict[int, int]:
+        """action -> summed visits across the forest."""
+        out: dict[int, int] = {}
+        for f in range(self.forest):
+            t = jax.tree.map(lambda x: x[f], self.trees)
+            kids = np.asarray(t.children[int(t.root)])
+            visits = np.asarray(t.visits)
+            for a in np.flatnonzero(kids >= 0):
+                out[int(a)] = out.get(int(a), 0) + int(visits[kids[a]])
+        return out
+
+    def _apply_move(self, action: int):
+        """Step the engine state and advance/rebuild the search tree."""
+        self.state = rules.step(self.state, jnp.int32(action))
+        if bool(self.state.invalid):
+            raise ValueError("illegal move")
+        self._rebuild()
+
+    def input_move(self, mv: int):
+        """Play a host-encoded move, with undo bookkeeping (gtp.py:332-337)."""
+        self._last_state = self.state
+        self._apply_move(to_action(mv))
+        self._move_history.append(mv)
+        self._undid = False
+
+    # -- move generation ----------------------------------------------------
+
+    @property
+    def surrender(self) -> bool:
+        wr = self.winrate()
+        return (
+            wr is not None
+            and wr < self.ecfg.resign_threshold
+            and int(self.state.turn) > self.ecfg.resign_turn
+        )
+
+    def genmove(self, resign: bool | None = None) -> int:
+        """Generate a move for the side to move (gtp.py:344-366)."""
+        condition = self.surrender if resign is None else resign
+        if condition:
+            self.running = False
+            return RESIGN
+
+        self._ensure_tree()
+        if self.time_lim:
+            self.timed_rollout(self.time_lim)
+        elif self.n_rollouts:
+            self.rollout(self.n_rollouts)
+        visits = self._root_child_visits()
+        if not visits:
+            action = PASS_ACTION
+        else:
+            action = max(sorted(visits), key=lambda a: visits[a])
+        mv = from_action(action)
+        self._last_state = self.state
+        self._apply_move(action)
+        self._move_history.append(mv)
+        self._undid = False
+        return mv
+
+    # -- analyze ------------------------------------------------------------
+
+    def analyze(self, interval_cs: int, k: int = 3):
+        """Stream ``info`` lines for Sabaki until input arrives
+        (gtp.py:374-399)."""
+        yield "= \n"
+        self._ensure_tree()
+        while True:
+            self.timed_rollout(interval_cs / 200.0)
+            if self._input[0] is not None:
+                yield "\n"
+                break
+            visits = self._root_child_visits()
+            t0 = jax.tree.map(lambda x: x[0], self.trees)
+            kids = np.asarray(t0.children[int(t0.root)])
+            vis = np.asarray(t0.visits)
+            wq, wv = np.asarray(t0.wq), np.asarray(t0.wv)
+            prior = np.asarray(t0.prior)
+            parent = np.asarray(t0.parent)
+            children = np.asarray(t0.children)
+            best = sorted(visits, key=lambda a: visits[a])[-k:]
+            out = ""
+            for a in best:
+                node = int(kids[a])
+                n = max(int(vis[node]), 1)
+                v = ((1 - self._w) * wq[node] + self._w * wv[node]) / n
+                child_wr = (v + 1) / 2
+                pv = [a]
+                cur = node
+                while True:
+                    ck = children[cur]
+                    valid = ck >= 0
+                    if not valid.any():
+                        break
+                    cn = np.where(valid, vis[np.maximum(ck, 0)], -1)
+                    nxt = int(np.argmax(cn))
+                    if cn[nxt] <= 0:
+                        break
+                    pv.append(nxt)
+                    cur = int(ck[nxt])
+                out += (
+                    f"info move {unsquash(a)} visits {visits[a]} "
+                    f"winrate {10000 * (1 - child_wr):.0f} "
+                    f"prior {10000 * prior[node]:.0f} "
+                    "pv " + " ".join(unsquash(pv)) + " "
+                )
+            yield out + "\n"
+
+    # -- protocol loop ------------------------------------------------------
+
+    def start(self):
+        """Main loop: dispatch commands, ponder while idle (gtp.py:63-92)."""
+        self.running = True
+        self._ensure_tree()
+        while self.running:
+            self._get_input()
+            while self._input[0] is None:
+                if self.pondering:
+                    self.rollout(PONDER_CHUNK)
+                else:
+                    time.sleep(0.1)
+            out = self.send(self._input[0])
+            if hasattr(out, "__next__"):  # analyze generator
+                self._get_input()
+                while self._input[0] is None:
+                    try:
+                        self._emit(next(out))
+                    except StopIteration:
+                        break
+                out = self.send(self._input[0])
+            self._emit(out)
+
+    def stop(self):
+        self._input[0] = "quit"
+        self.running = False
+
+    def _emit(self, text):
+        if text is None:
+            return
+        if self._conn is not None:
+            self._conn.send(text)
+        else:
+            print(text, end="")
+            sys.stdout.flush()
+
+    def _get_input(self):
+        self._input[0] = None
+
+        def wait():
+            if self._conn is not None:
+                while not self._conn.poll():
+                    time.sleep(0.1)
+                self._input[0] = self._conn.recv()
+            else:
+                try:
+                    self._input[0] = input()
+                except EOFError:
+                    self._input[0] = "quit"
+
+        Thread(target=wait, daemon=True).start()
+
+    # -- command dispatch ---------------------------------------------------
+
+    def send(self, cmd: str):
+        """Process one GTP command; returns the framed response string (or a
+        generator for ``analyze``)."""
+        if not self.running or not cmd:
+            return None
+        parts = cmd.lower().split()
+        cmd_id = ""
+        if parts and parts[0].isdigit():
+            cmd_id = parts[0]
+            parts = parts[1:]
+        if not parts:
+            return f"? \n\n"
+        name, args = parts[0], parts[1:]
+        if name not in COMMANDS:
+            return f"?{cmd_id} unknown command '{name}'\n\n"
+        handler = getattr(self, f"_cmd_{name}", None)
+        result = handler(args)
+        if hasattr(result, "__next__"):
+            return result
+        valid, out = result
+        mark = "=" if valid else "?"
+        return f"{mark}{cmd_id} {out}\n\n"
+
+    def _cmd_protocol_version(self, args):
+        return True, "2"
+
+    def _cmd_version(self, args):
+        return True, VERSION
+
+    def _cmd_name(self, args):
+        return True, NAME
+
+    def _cmd_known_command(self, args):
+        if len(args) != 1:
+            return False, ""
+        return True, "true" if args[0] in COMMANDS else "false"
+
+    def _cmd_help(self, args):
+        return True, "\n".join(COMMANDS)
+
+    _cmd_list_commands = _cmd_help
+
+    def _cmd_boardsize(self, args):
+        if len(args) != 1 or args[0] != "9":
+            return False, f"{NAME} only plays on 9x9 board"
+        return True, ""
+
+    def _cmd_clear_board(self, args):
+        self.state = st.new_game(float(self.state.komi))
+        self._move_history = []
+        self._last_state = None
+        self._rebuild()
+        return True, ""
+
+    def _cmd_komi(self, args):
+        if not args:
+            return False, "usage: komi <num-komi>"
+        try:
+            komi = float(args[0])
+        except ValueError:
+            return False, "invalid komi value"
+        self.state = self.state.replace(komi=jnp.float32(komi))
+        self._rebuild()
+        return True, ""
+
+    def _cmd_play(self, args):
+        if len(args) < 2 or args[0] not in COLORS:
+            return False, "usage: play <color> <vertex>"
+        if args[1] == "resign":
+            self.running = False
+            return True, ""
+        try:
+            mv = squash(args[1])
+        except ValueError:
+            return False, "invalid coordinate"
+        turn = 0 if "b" in args[0] else 1
+        try:
+            if turn != int(self.state.turn) % 2:
+                # out-of-turn play: insert a PASS first (gtp.py:174-186)
+                self._last_state = self.state
+                self._apply_move(PASS_ACTION)
+                self._apply_move(to_action(mv))
+                self._move_history.append(mv)
+                self._undid = False
+            else:
+                self.input_move(mv)
+        except ValueError:
+            return False, "illegal move"
+        return True, ""
+
+    def _cmd_genmove(self, args, resign=None):
+        if len(args) != 1 or args[0] not in COLORS:
+            return False, "usage: genmove <color>"
+        turn = 0 if "b" in args[0] else 1
+        if turn != int(self.state.turn) % 2:
+            self.input_move(PASS)
+            self._undid = True
+        mv = self.genmove(resign)
+        if mv == RESIGN:
+            self.running = False
+            return True, "resign"
+        return True, unsquash(mv)
+
+    def _cmd_reg_genmove(self, args):
+        return self._cmd_genmove(args, resign=False)
+
+    def _cmd_undo(self, args):
+        if self._undid or self._last_state is None:
+            return False, "cannot undo"
+        self.state = self._last_state
+        self._move_history.pop()
+        self._last_state = None
+        self._undid = True
+        self._rebuild()
+        return True, ""
+
+    def _cmd_last_move(self, args):
+        lm = int(self.state.last_move)
+        if lm == st.NO_MOVE:
+            return False, "no previous move known"
+        color = "black " if int(self.state.turn) % 2 == 1 else "white "
+        return True, color + unsquash(from_action(lm))
+
+    def _cmd_showboard(self, args):
+        return True, "\n" + st.render(self.state)
+
+    def _cmd_final_score(self, args):
+        score = float(rules.score(self.state))
+        if abs(score) < 1e-4:
+            return True, "0"
+        return True, f"B+{score}" if score > 0 else f"W+{-score}"
+
+    def _cmd_move_history(self, args):
+        return True, "\n".join(unsquash(self._move_history))
+
+    def _cmd_set_fixed_handicap(self, args):
+        if len(args) != 1 or not args[0].isnumeric():
+            return False, "usage: set_fixed_handicap <num-handicaps>"
+        if st.to_board_string(self.state) != "." * NN:
+            return False, "board is not empty"
+        n = int(args[0])
+        if not 1 < n <= 5:
+            return False, "invalid number of handicaps"
+        stones = FLOWERS9[:n]
+        board = ["."] * NN
+        for p in stones:
+            board[p] = "X"
+        self.state = st.from_board_string(
+            "".join(board), turn=1, komi=float(self.state.komi)
+        )
+        self._move_history = []
+        self._rebuild()
+        return True, " ".join(unsquash(list(stones)))
+
+    def _cmd_printsgf(self, args):
+        path = args[0] if args else os.path.join(os.getcwd(), "bokego.sgf")
+        text = sgf.write_sgf(
+            self._move_history, path, komi=float(self.state.komi)
+        )
+        return True, text
+
+    def _cmd_loadsgf(self, args):
+        if len(args) != 2 or not args[1].isnumeric():
+            return False, "usage: loadsgf <path-to-sgf> <move-number>"
+        try:
+            moves = sgf.read_moves(args[0])
+            mv_num = int(args[1]) - 1
+            for mv in moves:
+                self.input_move(mv)
+            return True, "black" if mv_num % 2 == 0 else "white"
+        except IOError as e:
+            return False, str(e)
+        except ValueError:
+            return False, "illegal move in sgf"
+
+    def _cmd_clear_cache(self, args):
+        self._rebuild()
+        self._undid = True
+        return True, ""
+
+    def _cmd_analyze(self, args):
+        if len(args) != 2 or args[0] not in COLORS or not args[1].isnumeric():
+            return False, "usage: analyze <color> <interval>"
+        turn = 0 if "b" in args[0] else 1
+        if turn != int(self.state.turn) % 2:
+            return False, f"it is not {args[0]}'s turn"
+        return self.analyze(int(args[1]))
+
+    def _cmd_pondering(self, args):
+        if len(args) != 1 or args[0] not in ("on", "off"):
+            return False, "usage: pondering <on/off>"
+        self.pondering = args[0] == "on"
+        return True, ""
+
+    def _cmd_quit(self, args):
+        self.running = False
+        return True, ""

@@ -1,0 +1,175 @@
+"""GTP engine conformance: every reference command (gtp.py:36-42), framing,
+out-of-turn handling, undo, handicap, genmove."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from bokego_tpu.config import EngineConfig, SearchConfig
+from bokego_tpu.gtp.engine import COMMANDS, GTPEngine
+from bokego_tpu.search import mcts
+
+from tests.test_mcts import fake_evaluator
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = GTPEngine(
+        fake_evaluator(),
+        None,
+        SearchConfig(expand_thresh=4, no_sim=True, max_nodes=512, n_rollouts=8),
+        EngineConfig(time_lim=None, n_rollouts=8, pondering=False),
+    )
+    eng.running = True
+    return eng
+
+
+def ok(engine, cmd):
+    out = engine.send(cmd)
+    assert out.startswith("="), f"{cmd!r} -> {out!r}"
+    return out[1:].strip()
+
+
+def fail(engine, cmd):
+    out = engine.send(cmd)
+    assert out.startswith("?"), f"{cmd!r} -> {out!r}"
+    return out[1:].strip()
+
+
+def test_basic_commands(engine):
+    assert ok(engine, "protocol_version") == "2"
+    assert ok(engine, "name")
+    assert ok(engine, "version")
+    assert ok(engine, "known_command play") == "true"
+    assert ok(engine, "known_command frobnicate") == "false"
+    listed = ok(engine, "list_commands").split("\n")
+    assert set(listed) == set(COMMANDS)
+    fail(engine, "notacommand")
+
+
+def test_command_id_framing(engine):
+    out = engine.send("7 protocol_version")
+    assert out.startswith("=7 ")
+
+
+def test_boardsize(engine):
+    ok(engine, "boardsize 9")
+    fail(engine, "boardsize 19")
+
+
+def test_play_and_board(engine):
+    ok(engine, "clear_board")
+    ok(engine, "play black E5")
+    board = ok(engine, "showboard")
+    assert "X" in board
+    # reference labels the mover: black just played (gtp.py:227-233)
+    assert ok(engine, "last_move") == "black E5"
+    ok(engine, "play white C3")
+    assert ok(engine, "move_history").split("\n") == ["E5", "C3"]
+    fail(engine, "play black E5")  # occupied
+
+
+def test_out_of_turn_play(engine):
+    """Consecutive same-color plays insert a PASS (gtp.py:174-186)."""
+    ok(engine, "clear_board")
+    ok(engine, "play black E5")
+    ok(engine, "play black C3")  # out of turn -> pass inserted
+    assert int(engine.state.turn) == 3
+
+
+def test_undo(engine):
+    ok(engine, "clear_board")
+    ok(engine, "play black E5")
+    ok(engine, "undo")
+    assert int(engine.state.turn) == 0
+    fail(engine, "undo")  # only one undo allowed
+
+
+def test_komi_and_final_score(engine):
+    ok(engine, "clear_board")
+    ok(engine, "komi 7")
+    out = ok(engine, "final_score")
+    assert out == "W+7.0" or out.startswith("W+7")
+    fail(engine, "komi abc")
+    ok(engine, "komi 5.5")
+
+
+def test_handicap(engine):
+    ok(engine, "clear_board")
+    stones = ok(engine, "set_fixed_handicap 3").split()
+    assert len(stones) == 3
+    fail(engine, "set_fixed_handicap 3")  # board not empty
+    ok(engine, "clear_board")
+    fail(engine, "set_fixed_handicap 9")
+
+
+def test_genmove_legal(engine):
+    ok(engine, "clear_board")
+    mv = ok(engine, "genmove black")
+    assert mv and mv != "resign"
+    # white's reply via reg_genmove (no resignation path)
+    mv2 = ok(engine, "reg_genmove white")
+    assert mv2
+    assert len(engine._move_history) == 2
+
+
+def test_genmove_out_of_turn(engine):
+    ok(engine, "clear_board")
+    ok(engine, "genmove white")  # black to play -> pass inserted
+    assert int(engine.state.turn) == 2
+
+
+def test_printsgf_loadsgf(engine, tmp_path):
+    ok(engine, "clear_board")
+    ok(engine, "play black E5")
+    ok(engine, "play white C3")
+    path = os.path.join(tmp_path, "out.sgf")
+    ok(engine, f"printsgf {path}")
+    assert os.path.exists(path)
+    ok(engine, "clear_board")
+    out = ok(engine, f"loadsgf {path} 3")
+    assert out in ("black", "white")
+    assert int(engine.state.turn) == 2
+    fail(engine, "loadsgf /nonexistent.sgf 1")
+
+
+def test_pondering_toggle(engine):
+    ok(engine, "pondering off")
+    assert engine.pondering is False
+    ok(engine, "pondering on")
+    assert engine.pondering is True
+    fail(engine, "pondering maybe")
+
+
+def test_clear_cache(engine):
+    ok(engine, "clear_cache")
+
+
+def test_analyze_stream(engine):
+    ok(engine, "clear_board")
+    engine.time_lim = None
+    gen = engine.send("analyze black 1")
+    assert hasattr(gen, "__next__")
+    first = next(gen)
+    assert first.startswith("=")
+    line = next(gen)
+    assert "info move" in line and "visits" in line and "pv" in line
+    engine._input[0] = "quit"  # stop streaming
+    tail = next(gen)
+    assert tail == "\n"
+
+
+def test_forest_mode():
+    eng = GTPEngine(
+        fake_evaluator(),
+        None,
+        SearchConfig(expand_thresh=2, no_sim=True, max_nodes=256),
+        EngineConfig(time_lim=None, n_rollouts=8, pondering=False, forest_size=3),
+    )
+    eng.running = True
+    mv = ok(eng, "genmove black")
+    assert mv
+    assert eng.forest == 3

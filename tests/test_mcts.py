@@ -1,0 +1,167 @@
+"""Search parity: the array MCTS must reproduce the reference PUCT
+algorithm's visit distribution (dict-based oracle, deterministic fake nets).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bokego_tpu.config import SearchConfig
+from bokego_tpu.coords import NN, PASS_ACTION
+from bokego_tpu.env import rules, state as st
+from bokego_tpu.search import mcts
+from bokego_tpu.search.tree import get_state
+
+from tests.oracle import OracleGame
+from tests.oracle_mcts import DictMCTS
+from tests.test_rules import random_game_states
+
+
+# Deterministic fake policy/value, computable from the raw board on both
+# sides: probs ∝ 1 + ((a * 7 + #stones) % 13); value from a board checksum.
+def fake_probs_np(board, turn):
+    stones = int(np.sum(np.asarray(board) != 0))
+    z = 1.0 + (np.arange(81) * 7 + stones) % 13
+    return z / z.sum()
+
+
+def fake_value_np(board, turn):
+    chk = int(np.dot(np.asarray(board, dtype=np.int64), np.arange(1, 82))) + turn
+    return ((chk % 17) - 8) / 10.0
+
+
+def fake_evaluator():
+    def evaluate(params, states):
+        del params
+        stones = jnp.sum(states.board != 0, axis=-1)  # (B,)
+        z = 1.0 + (jnp.arange(NN)[None, :] * 7 + stones[:, None]) % 13
+        probs = z / z.sum(axis=-1, keepdims=True)
+        chk = (
+            jnp.sum(states.board.astype(jnp.int64) * jnp.arange(1, 82)[None, :], axis=-1)
+            + states.turn
+        )
+        vals = ((chk % 17) - 8) / 10.0
+        return probs.astype(jnp.float32), vals.astype(jnp.float32)
+
+    def policy_probs(params, states):
+        return evaluate(params, states)[0]
+
+    return mcts.Evaluator(evaluate=evaluate, policy_probs=policy_probs, has_value=True)
+
+
+@pytest.mark.parametrize("expand_thresh,n_rollouts", [(100, 150), (5, 60), (0, 40)])
+def test_visit_parity_vs_dict_oracle(expand_thresh, n_rollouts):
+    """Same PUCT math => same visit counts on every root child."""
+    # A midgame position reached by a fixed random game (skip back past any
+    # trailing pass so the root is non-terminal).
+    states = list(random_game_states(5, n_moves=20, pass_prob=0.0))
+    s, g = states[-1]
+
+    cfg = SearchConfig(
+        expand_thresh=expand_thresh,
+        exploration_weight=4.0,
+        no_sim=True,
+        max_turns=80,
+        max_nodes=8192,
+    )
+    ev = fake_evaluator()
+    batch = jax.tree.map(lambda x: x[None], s)
+    rng = jax.random.PRNGKey(0)
+    trees = mcts.init_trees(rng, batch, ev, None, cfg)
+    trees = mcts.run_search(rng, trees, ev, None, cfg, n_rollouts)
+
+    oracle = DictMCTS(
+        g,
+        probs_fn=lambda game: fake_probs_np(game.board, game.turn),
+        value_fn=lambda game: fake_value_np(game.board, game.turn),
+        exploration_weight=4.0,
+        expand_thresh=expand_thresh,
+        max_turns=80,
+    )
+    oracle.rollout(n_rollouts)
+
+    want = oracle.root_child_visits()
+    tree0 = jax.tree.map(lambda x: x[0], trees)
+    kids = np.asarray(tree0.children[int(tree0.root)])
+    got = {
+        a: int(tree0.visits[kids[a]]) for a in range(NN) if kids[a] >= 0
+    }
+    assert set(got) == set(want)
+    assert got == want
+    # root visit count matches total rollouts
+    assert int(tree0.visits[int(tree0.root)]) == n_rollouts
+    # winrate parity
+    np.testing.assert_allclose(
+        float(mcts.root_winrate(tree0, 1.0)), oracle.winrate(), rtol=1e-5
+    )
+
+
+def test_branch_num_topk():
+    s = st.new_game()
+    cfg = SearchConfig(branch_num=5, no_sim=True, max_nodes=256)
+    ev = fake_evaluator()
+    batch = jax.tree.map(lambda x: x[None], s)
+    trees = mcts.init_trees(jax.random.PRNGKey(0), batch, ev, None, cfg)
+    tree0 = jax.tree.map(lambda x: x[0], trees)
+    kids = np.asarray(tree0.children[0])
+    assert (kids >= 0).sum() == 5
+
+
+def test_choose_most_visited():
+    states = list(random_game_states(7, n_moves=10))
+    s, _ = states[-1]
+    cfg = SearchConfig(no_sim=True, max_nodes=4096)
+    ev = fake_evaluator()
+    batch = jax.tree.map(lambda x: x[None], s)
+    rng = jax.random.PRNGKey(1)
+    trees = mcts.init_trees(rng, batch, ev, None, cfg)
+    trees = mcts.run_search(rng, trees, ev, None, cfg, 50)
+    a = int(jax.vmap(mcts.choose_action)(trees)[0])
+    tree0 = jax.tree.map(lambda x: x[0], trees)
+    kids = np.asarray(tree0.children[0])
+    visits = {i: int(tree0.visits[kids[i]]) for i in range(NN) if kids[i] >= 0}
+    assert a in visits
+    assert visits[a] == max(visits.values())
+
+
+def test_terminal_root_returns_pass():
+    s = st.new_game()
+    s = rules.step(s, jnp.int32(PASS_ACTION))  # last move pass -> terminal
+    cfg = SearchConfig(no_sim=True, max_nodes=64)
+    ev = fake_evaluator()
+    batch = jax.tree.map(lambda x: x[None], s)
+    trees = mcts.init_trees(jax.random.PRNGKey(0), batch, ev, None, cfg)
+    trees = mcts.run_search(jax.random.PRNGKey(1), trees, ev, None, cfg, 3)
+    a = int(jax.vmap(mcts.choose_action)(trees)[0])
+    assert a == PASS_ACTION
+
+
+def test_batched_search_runs():
+    """Multiple trees advance independently in one scan."""
+    B = 4
+    s = st.new_game_batch(B)
+    cfg = SearchConfig(expand_thresh=3, no_sim=True, max_nodes=2048)
+    ev = fake_evaluator()
+    rng = jax.random.PRNGKey(0)
+    actions, trees = mcts.search(rng, s, ev, None, cfg, n_rollouts=30)
+    assert actions.shape == (B,)
+    assert np.all(np.asarray(trees.visits[:, 0]) == 30)
+    # all chosen actions legal
+    legal = np.asarray(rules.legal_mask_batch(s))
+    for b in range(B):
+        assert legal[b, int(actions[b])]
+
+
+def test_simulation_mode_smoke():
+    """--simulate parity config: sims mixed with value net (λ=0.5)."""
+    B = 2
+    s = st.new_game_batch(B)
+    cfg = SearchConfig(no_sim=False, value_net_weight=0.5, max_turns=20, max_nodes=512)
+    ev = fake_evaluator()
+    actions, trees = mcts.search(jax.random.PRNGKey(0), s, ev, None, cfg, n_rollouts=5)
+    t0 = jax.tree.map(lambda x: x[0], trees)
+    assert int(t0.visits[0]) == 5
+    # sim rewards accumulated into wq
+    assert np.asarray(trees.wq[:, 0]).any()

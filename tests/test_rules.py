@@ -1,0 +1,254 @@
+"""Rules-core parity: random-game fuzzing of the JAX engine vs the oracle.
+
+Per SURVEY.md §4: random move sequences, asserting board / ko / legal-mask /
+liberties / score / hash behaviour at every step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bokego_tpu.coords import NN, PASS_ACTION
+from bokego_tpu.env import rules, state as st
+from bokego_tpu.env.state import BLACK, EMPTY, WHITE
+
+from tests.oracle import PASS, OracleGame
+
+
+def jax_board(s):
+    return np.asarray(s.board)
+
+
+def oracle_board(g):
+    return np.array(g.board, dtype=np.int8)
+
+
+step_fn = jax.jit(rules.step)
+legal_fn = jax.jit(rules.legal_mask)
+score_fn = jax.jit(rules.score)
+group_info_fn = jax.jit(rules.group_info)
+move_tables_fn = jax.jit(rules.move_tables)
+
+
+def random_game_states(seed, n_moves=70, pass_prob=0.03):
+    """Generate a random legal game, yielding (jax_state, oracle) pairs."""
+    rng = np.random.default_rng(seed)
+    s = st.new_game()
+    g = OracleGame()
+    yield s, g.copy()
+    for _ in range(n_moves):
+        legal = np.asarray(legal_fn(s))
+        choices = np.flatnonzero(legal[:NN])
+        if len(choices) == 0 or rng.random() < pass_prob:
+            a = PASS_ACTION
+        else:
+            a = int(rng.choice(choices))
+        s = step_fn(s, jnp.int32(a))
+        g.play(PASS if a == PASS_ACTION else a)
+        yield s, g.copy()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_game_parity(seed):
+    hashes = {}
+    for i, (s, g) in enumerate(random_game_states(seed)):
+        np.testing.assert_array_equal(jax_board(s), oracle_board(g), err_msg=f"move {i}")
+        assert int(s.turn) == g.turn
+        ko = int(s.ko)
+        assert (None if ko < 0 else ko) == g.ko, f"move {i}"
+        assert not bool(s.invalid)
+
+        # legality parity over all 82 actions
+        legal = np.asarray(legal_fn(s))
+        oracle_legal = g.legal_moves()
+        np.testing.assert_array_equal(
+            legal[:NN], np.array([p in oracle_legal for p in range(NN)]), err_msg=f"move {i}"
+        )
+        assert legal[NN]  # pass always legal
+
+        # liberties parity
+        info = group_info_fn(s.board)
+        np.testing.assert_array_equal(
+            np.asarray(info.libs), np.array(g.liberties()), err_msg=f"move {i}"
+        )
+
+        # score parity
+        assert float(score_fn(s)) == pytest.approx(g.score()), f"move {i}"
+
+        # hash: equal (board, ko, turn-parity) must give equal hash; also
+        # the incremental hash must match a from-scratch recompute.
+        from bokego_tpu.env.zobrist import full_hash_np
+
+        h = tuple(np.asarray(s.hash))
+        expect = tuple(full_hash_np(jax_board(s), ko if ko >= 0 else -1, int(s.turn)))
+        assert h == expect, f"incremental hash diverged from recompute at move {i}"
+        key = (bytes(jax_board(s)), ko, int(s.turn) % 2)
+        if key in hashes:
+            assert hashes[key] == h
+        hashes[key] = h
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_move_tables_parity(seed):
+    """libs_after / caps (feature planes 13-26 inputs) vs oracle."""
+    states = list(random_game_states(seed, n_moves=60))
+    for i in range(0, len(states), 7):
+        s, g = states[i]
+        mt = move_tables_fn(s.board, s.ko, s.to_play)
+        legal = np.asarray(mt.legal)
+        libs_after = np.asarray(mt.libs_after)
+        caps = np.asarray(mt.caps)
+        for p in sorted(g.legal_moves()):
+            la, nc = g.move_effects(p)
+            assert legal[p]
+            assert libs_after[p] == la, f"libs_after mismatch at {p}, move {i}"
+            assert caps[p] == nc, f"caps mismatch at {p}, move {i}"
+        for p in range(NN):
+            if not legal[p]:
+                assert libs_after[p] == 0 and caps[p] == 0
+
+
+def test_ko_rule():
+    """Classic ko shape: capture then immediate recapture is illegal."""
+    #    . X O .
+    #  X . ^ O   — build B ko at (1,1)/(1,2) area
+    s = st.new_game()
+    g = OracleGame()
+    # B at (0,1)=1, W at (0,2)=2, B at (1,0)=9, W at (1,3)=12, B at (2,1)=19,
+    # W at (2,2)=20, B pass..., W plays (1,1)=10 -> then B captures at (1,2)?
+    moves = [1, 2, 9, 12, 19, 20, PASS_ACTION, 10]
+    for a in moves:
+        s = rules.step(s, jnp.int32(a))
+        g.play(PASS if a == PASS_ACTION else a)
+        assert not bool(s.invalid)
+    # Now B plays (1,2)=11, capturing the single W stone at 10 (surrounded
+    # by B at 1, 9, 19 and B-to-be at 11).
+    s = rules.step(s, jnp.int32(11))
+    g.play(11)
+    assert int(s.ko) == 10 == g.ko
+    # W may not immediately recapture at 10.
+    legal = np.asarray(rules.legal_mask(s))
+    assert not legal[10]
+    assert not g.is_legal(10)
+    # After W plays elsewhere, ko clears.
+    s = rules.step(s, jnp.int32(60))
+    g.play(60)
+    assert int(s.ko) == -1 and g.ko is None
+
+
+def test_suicide_illegal():
+    s = st.new_game()
+    g = OracleGame()
+    # B stones around (0,0): at 1 and 9. White to move at 0 would be suicide.
+    for a in [1, PASS_ACTION, 9]:
+        s = rules.step(s, jnp.int32(a))
+        g.play(PASS if a == PASS_ACTION else a)
+    # white to move (turn 3)
+    assert int(s.turn) % 2 == 1
+    legal = np.asarray(rules.legal_mask(s))
+    assert not legal[0]
+    assert not g.is_legal(0)
+    # stepping the illegal move latches invalid and leaves state unchanged
+    before = np.asarray(s.board).copy()
+    s2 = rules.step(s, jnp.int32(0))
+    assert bool(s2.invalid)
+    np.testing.assert_array_equal(np.asarray(s2.board), before)
+    assert int(s2.turn) == int(s.turn)
+
+
+def test_capture_and_snapback_legality():
+    """Single-stone capture that is NOT fully surrounded -> no ko."""
+    s = st.new_game()
+    g = OracleGame()
+    # W stone at 0 with B at 1; B plays 9 capturing W at 0.
+    # Board: W@0 (turn trick: B1, W0, B9 captures)
+    for a in [1, 0, 9]:
+        s = rules.step(s, jnp.int32(a))
+        g.play(a)
+    assert np.asarray(s.board)[0] == EMPTY
+    assert g.board[0] == EMPTY
+    # not a ko: B stones at 1 and 9 don't surround 0 entirely by... they do
+    # surround it (corner has 2 neighbours, both B after capture) — but the
+    # possible_ko check is on the *played* point 9 before placement, whose
+    # neighbours were not all white. So no ko.
+    assert int(s.ko) == -1 and g.ko is None
+
+
+def test_eye_detection_matches_oracle():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        board = rng.choice([EMPTY, BLACK, WHITE], size=NN, p=[0.5, 0.25, 0.25]).astype(
+            np.int8
+        )
+        g = OracleGame(board=list(board))
+        eyes = np.asarray(rules.eye_colors(jnp.asarray(board)))
+        for p in range(NN):
+            assert eyes[p] == g.eye_color(p), f"eye mismatch at {p}"
+
+
+def test_batched_step_matches_single():
+    B = 16
+    rng = np.random.default_rng(3)
+    s = st.new_game_batch(B)
+    singles = [st.new_game() for _ in range(B)]
+    for _ in range(30):
+        legal = np.asarray(rules.legal_mask_batch(s))
+        actions = []
+        for b in range(B):
+            choices = np.flatnonzero(legal[b, :NN])
+            actions.append(int(rng.choice(choices)) if len(choices) else PASS_ACTION)
+        a = jnp.asarray(actions, dtype=jnp.int32)
+        s = rules.step_batch(s, a)
+        singles = [rules.step(x, jnp.int32(actions[b])) for b, x in enumerate(singles)]
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(s.board)[b], np.asarray(singles[b].board))
+        assert int(s.turn[b]) == int(singles[b].turn)
+        assert tuple(np.asarray(s.hash)[b]) == tuple(np.asarray(singles[b].hash))
+
+
+def test_score_known_positions():
+    # Empty board: 0 - 0 - komi
+    s = st.new_game()
+    assert float(rules.score(s)) == pytest.approx(-5.5)
+    # All-black-but-one board
+    board = "X" * 80 + "."
+    s = st.from_board_string(board)
+    assert float(rules.score(s)) == pytest.approx(81 - 5.5)
+    # Split board: B left 4 cols, W right 4 cols, empty middle col
+    row = "XXXX.OOOO"
+    s = st.from_board_string(row * 9)
+    # middle column reaches both -> neutral; 36 - 36 - 5.5
+    assert float(rules.score(s)) == pytest.approx(-5.5)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_child_states_match_step(seed):
+    """Every legal successor from child_states equals a step() application."""
+    cs_fn = jax.jit(rules.child_states)
+    for i, (s, g) in enumerate(random_game_states(seed, n_moves=50)):
+        if i % 9:
+            continue
+        children, legal = cs_fn(s)
+        legal = np.asarray(legal)
+        for a in list(np.flatnonzero(legal[:NN]))[::3] + [NN]:
+            want = step_fn(s, jnp.int32(a if a < NN else PASS_ACTION))
+            got = jax.tree.map(lambda x: x[a], children)
+            np.testing.assert_array_equal(np.asarray(got.board), np.asarray(want.board))
+            assert int(got.ko) == int(want.ko)
+            assert int(got.turn) == int(want.turn)
+            assert int(got.last_move) == int(want.last_move)
+            assert tuple(np.asarray(got.hash)) == tuple(np.asarray(want.hash))
+        # legality agrees with legal_mask
+        np.testing.assert_array_equal(legal, np.asarray(legal_fn(s)))
+
+
+def test_terminal():
+    s = st.new_game()
+    assert not bool(rules.is_terminal(s, 80))
+    s = rules.step(s, jnp.int32(PASS_ACTION))
+    assert bool(rules.is_terminal(s, 80))
+    s2 = st.new_game().replace(turn=jnp.int32(81))
+    assert bool(rules.is_terminal(s2, 80))
+    assert not bool(rules.is_terminal(s2, 90))

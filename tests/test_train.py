@@ -1,0 +1,129 @@
+"""Training stack: data/augmentation, SL step, REINFORCE step, genvals,
+checkpoints."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bokego_tpu.coords import NN
+from bokego_tpu.env import state as st
+from bokego_tpu.features import features
+from bokego_tpu.models import init_policy, init_value
+from bokego_tpu.train import checkpoints, data, genvals, reinforce, sl
+
+from tests.test_rules import random_game_states
+
+
+def test_d4_equivariance():
+    """Transforming features == features of the transformed position, and
+    the move remap matches the last-move plane's transform."""
+    states = list(random_game_states(3, n_moves=25, pass_prob=0.0))
+    s, _ = states[-1]
+    fts = np.asarray(features(s))  # (9, 9, 27)
+    lm = int(s.last_move)
+    for k in range(8):
+        tf = data.d4_apply_planes(fts, k)
+        # plane 4 is the one-hot last move; its argmax must be the remap
+        plane = tf[..., 4].reshape(NN)
+        want = int(data.d4_apply_moves(np.asarray(lm), k))
+        assert int(plane.argmax()) == want, f"k={k}"
+        # round trip check on moves: each k is a bijection on 0..80
+        m = data.d4_apply_moves(np.arange(NN), k)
+        assert sorted(m.tolist()) == list(range(NN))
+
+
+def test_npz_roundtrip(tmp_path):
+    fts = np.random.default_rng(0).random((10, 9, 9, 27)).astype(np.float32)
+    moves = np.arange(10, dtype=np.int32)
+    ds = data.GoDataset(fts, moves, is_value=False)
+    p = os.path.join(tmp_path, "d.npz")
+    data.save_npz(p, ds)
+    ds2 = data.load_npz(p)
+    np.testing.assert_allclose(ds2.features, fts)
+    np.testing.assert_array_equal(ds2.targets, moves)
+    batches = list(ds2.batches(4, np.random.default_rng(0), augment=True))
+    assert len(batches) == 2
+    assert batches[0][0].shape == (4, 9, 9, 27)
+
+
+def test_sl_policy_step_reduces_loss():
+    rng = np.random.default_rng(0)
+    fts = rng.random((64, 9, 9, 27)).astype(np.float32)
+    moves = rng.integers(0, NN, 64).astype(np.int32)
+    ds = data.GoDataset(fts, moves, is_value=False)
+    variables = init_policy(jax.random.PRNGKey(0))
+    state = sl.train(ds, variables, kind="policy", epochs=2, batch_size=32,
+                     lr=1e-3, log_every=10**9, log_fn=lambda s: None)
+    assert state.epoch == 2
+
+
+def test_sl_value_step(tmp_path):
+    rng = np.random.default_rng(0)
+    fts = rng.random((32, 9, 9, 27)).astype(np.float32)
+    vals = rng.choice([-1.0, 1.0], 32).astype(np.float32)
+    ds = data.GoDataset(fts, vals, is_value=True)
+    variables = init_value(jax.random.PRNGKey(0))
+    stats = os.path.join(tmp_path, "stats.txt")
+    state = sl.train(ds, variables, kind="value", epochs=1, batch_size=16,
+                     lr=1e-3, log_fn=lambda s: None, stats_path=stats)
+    assert os.path.exists(stats)
+    assert state.epoch == 1
+
+
+def test_reinforce_epoch_smoke():
+    variables = init_policy(jax.random.PRNGKey(0))
+    opp = init_policy(jax.random.PRNGKey(1))
+    res = reinforce.train_epoch(
+        jax.random.PRNGKey(2), variables, opp,
+        n_iters=2, batch_games=2, max_turns=8, lr=1e-5,
+        log_fn=lambda s: None,
+    )
+    assert len(res.winrates) == 4
+    # params changed
+    a = jax.tree.leaves(variables["params"])[0]
+    b = jax.tree.leaves(res.variables["params"])[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_genvals_generate_and_csv(tmp_path):
+    sl_vars = init_policy(jax.random.PRNGKey(0))
+    samples = genvals.generate(
+        jax.random.PRNGKey(1), sl_vars, sl_vars, batch=4,
+        max_turns=14, min_r=4, max_r=8,
+    )
+    rows = genvals.samples_to_rows(samples)
+    assert rows, "no valid samples generated"
+    for board, ko, move, val in rows:
+        assert len(board) == NN and board[move] in "XO"
+        assert val in (0, 1)
+    p = os.path.join(tmp_path, "vals.csv")
+    genvals.write_csv(p, rows)
+    with open(p) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 1 + 8 * len(rows)
+    # the produced CSV round-trips through the dataset loader
+    ds = data.load_csv(p)
+    assert ds.is_value and len(ds) == 8 * len(rows)
+
+
+def test_checkpoint_roundtrip_and_pool(tmp_path):
+    variables = init_policy(jax.random.PRNGKey(0))
+    path = os.path.join(tmp_path, "ckpt")
+    checkpoints.save_variables(path, variables, meta={"epoch": 3})
+    back = checkpoints.load_checkpoint(path)
+    assert int(back["meta"]["epoch"]) == 3
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back["variables"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    pool = os.path.join(tmp_path, "weights")
+    assert checkpoints.save_next_policy(pool, variables) == 0
+    assert checkpoints.save_next_policy(pool, variables) == 1
+    assert checkpoints.pool_ids(pool) == [0, 1]
+    n, ck = checkpoints.latest_policy(pool)
+    assert n == 1
+    nid, _ = checkpoints.sample_opponent(pool, np.random.default_rng(0))
+    assert nid in (0, 1)
