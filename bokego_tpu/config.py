@@ -27,6 +27,16 @@ class SearchConfig:
     max_turns: int = 80  # terminal cutoff in search (mcts.py:13)
     max_nodes: int = 1024  # node-pool size per tree (array-tree capacity)
     n_rollouts: int = 400  # rollouts per move when not time-limited
+    max_depth: int = 64  # PUCT descend depth bound (path-recording size);
+    # deeper descents stop early at an internal node (never reached with
+    # default expand_thresh; raise for thresh≈0 AlphaZero-style searches)
+    eval_every: int = 1  # run the leaf-eval/expansion phase only on every
+    # E-th rollout. 1 = exact reference semantics. >1 amortizes the net
+    # forward + successor generation across rollouts for large tree
+    # batches (where SOME tree always needs work): expansion and
+    # first-visit valuation are delayed up to E-1 rollouts, during which
+    # an unvalued leaf backs up a neutral 0 value — a small, documented
+    # throughput/fidelity trade (typically negligible at E<=8).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -81,81 +81,131 @@ def _mix_weight(cfg: SearchConfig, has_value: bool) -> float:
     return cfg.value_net_weight
 
 
-def _puct_child(tree: Tree, node: jnp.ndarray, c: float, w: float) -> jnp.ndarray:
-    """Select the PUCT-best child of an expanded node (mcts.py:219-234)."""
-    kids = tree.children[node]  # (81,)
-    valid = kids >= 0
-    idx = jnp.maximum(kids, 0)
-    n = tree.visits[idx]
-    avg = jnp.where(
-        n > 0,
-        ((1.0 - w) * tree.wq[idx] + w * tree.wv[idx]) / jnp.maximum(n, 1),
-        0.0,
+def _take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, ...) indexed by (B,) -> (B, ...) via take_along_axis.
+
+    NOTE: this (and every hot-path gather here) deliberately avoids
+    advanced integer indexing like ``x[arange(B), idx]`` — on the TPU
+    backend that pattern lowers to a pathologically slow general gather
+    (measured ~60x slower and minutes of compile time), while
+    ``take_along_axis`` lowers to fast contiguous row gathers.
+    """
+    ex = idx.reshape(idx.shape + (1,) * (x.ndim - 1))
+    return jnp.take_along_axis(x, ex, axis=1)[:, 0]
+
+
+def gather_states(nodes: GoState, idx: jnp.ndarray) -> GoState:
+    """Batched node-state gather: nodes (B, Nmax, ...) at (B,) indices."""
+    return jax.tree.map(lambda x: _take_rows(x, idx), nodes)
+
+
+class _Descent(NamedTuple):
+    leaf: jnp.ndarray  # (B,) leaf node index per tree
+    path: jnp.ndarray  # (B, max_depth) node indices; Nmax (OOB) where unused
+    depth: jnp.ndarray  # (B,) index of the leaf within path
+
+
+def _descend_batch(trees: Tree, cfg: SearchConfig, w: float) -> _Descent:
+    """PUCT walk from every root to a leaf, recording the path
+    (``MCTS._descend``, mcts.py:172-183; PUCT formula mcts.py:219-234).
+
+    Batch-level: one set of row gathers per tree *level*, all trees in
+    lockstep; finished trees idle until the deepest one stops.
+    """
+    batch = trees.root.shape[0]
+    c = cfg.exploration_weight
+    cap = trees.parent.shape[1]  # Nmax (OOB sentinel for path scatters)
+
+    def level(carry):
+        cur, done, path, depth, i = carry
+        kids = _take_rows(trees.children, cur).astype(jnp.int32)  # (B, 81)
+        valid = kids >= 0
+        # terminal nodes never have children (expand refuses them), so
+        # "has any child" alone decides internal-ness.
+        internal = jnp.any(valid, axis=1) & ~done
+        idx = jnp.maximum(kids, 0)
+        st3 = jnp.take_along_axis(trees.stats, idx[..., None], axis=1)  # (B,81,3)
+        nf, wq, wv = st3[..., 0], st3[..., 1], st3[..., 2]
+        prior = jnp.take_along_axis(trees.prior, idx, axis=1)
+        avg = jnp.where(nf > 0, ((1.0 - w) * wq + w * wv) / jnp.maximum(nf, 1.0), 0.0)
+        total = jnp.maximum(jnp.sum(jnp.where(valid, nf, 0.0), axis=1), 1.0)
+        score = -avg + c * prior * jnp.sqrt(total)[:, None] / (1.0 + nf)
+        score = jnp.where(valid, score, -jnp.inf)
+        best = jnp.take_along_axis(kids, jnp.argmax(score, axis=1)[:, None], axis=1)[
+            :, 0
+        ]
+        nxt = jnp.where(internal, best, cur)
+        depth = jnp.where(internal, depth + 1, depth)
+        path = jax.lax.dynamic_update_index_in_dim(
+            path, jnp.where(internal, nxt, cap), i + 1, axis=1
+        )
+        return nxt, done | ~internal, path, depth, i + 1
+
+    def cond(carry):
+        _, done, _, _, i = carry
+        return jnp.any(~done) & (i < cfg.max_depth - 1)
+
+    path0 = jnp.full((batch, cfg.max_depth), cap, jnp.int32)
+    path0 = path0.at[:, 0].set(trees.root)
+    init = (
+        trees.root,
+        jnp.zeros((batch,), bool),
+        path0,
+        jnp.zeros((batch,), jnp.int32),
+        jnp.int32(0),
     )
-    total = jnp.maximum(jnp.sum(jnp.where(valid, n, 0)), 1)
-    score = -avg + c * tree.prior[idx] * jnp.sqrt(total.astype(jnp.float32)) / (
-        1.0 + n
-    )
-    score = jnp.where(valid, score, -jnp.inf)
-    return kids[jnp.argmax(score)]
+    leaf, _, path, depth, _ = jax.lax.while_loop(cond, level, init)
+    return _Descent(leaf=leaf, path=path, depth=depth)
 
 
-def _descend_one(tree: Tree, cfg: SearchConfig, w: float) -> jnp.ndarray:
-    """Walk from root to a leaf via PUCT (``MCTS._descend``, mcts.py:172-183)."""
-
-    def is_internal(i):
-        return tree.expanded[i] & jnp.any(tree.children[i] >= 0) & ~tree.terminal[i]
-
-    def cond(cur):
-        return is_internal(cur)
-
-    def body(cur):
-        return _puct_child(tree, cur, cfg.exploration_weight, w)
-
-    return jax.lax.while_loop(cond, body, tree.root)
-
-
-def _backprop_one(
-    tree: Tree,
-    leaf: jnp.ndarray,
+def _backprop_batch(
+    trees: Tree,
+    desc: _Descent,
     sim_reward: jnp.ndarray,
     use_sim: bool,
     use_value: bool,
 ) -> Tree:
-    """Propagate reward/value up the parent chain with per-ply negation
-    (``MCTS._backpropagate``, mcts.py:208-217)."""
-    leaf_val = tree.value[leaf]
+    """Scatter the reward/value up every recorded path with per-ply sign
+    flips (``MCTS._backpropagate``, mcts.py:208-217) — no loop: one
+    vmapped scatter-add per stat array."""
+    D = desc.path.shape[1]
+    # NaN leaf value = not yet evaluated (possible only with eval_every > 1,
+    # where a freshly expanded child can be visited before its delayed
+    # valuation): back up a neutral 0 for those rollouts.
+    leaf_val = jnp.nan_to_num(_take_rows(trees.value, desc.leaf))
+    # sign[i] = (-1)^(depth - i) for i <= depth (leaf gets +1)
+    ii = jnp.arange(D)[None, :]
+    parity = (desc.depth[:, None] - ii) % 2
+    sign = jnp.where(parity == 0, 1.0, -1.0)
 
-    def cond(carry):
-        cur, _, _, _ = carry
-        return cur >= 0
-
-    def body(carry):
-        cur, r, v, t = carry
-        t = t.replace(visits=t.visits.at[cur].add(1))
-        if use_sim:
-            t = t.replace(wq=t.wq.at[cur].add(r))
-        if use_value:
-            t = t.replace(wv=t.wv.at[cur].add(v))
-        return (t.parent[cur], -r, -v, t)
-
-    _, _, _, out = jax.lax.while_loop(cond, body, (leaf, sim_reward, leaf_val, tree))
-    return out
+    upd = jnp.stack(
+        [
+            jnp.ones((trees.root.shape[0], D), jnp.float32),
+            sign * sim_reward[:, None] if use_sim else jnp.zeros_like(sign),
+            sign * leaf_val[:, None] if use_value else jnp.zeros_like(sign),
+        ],
+        axis=-1,
+    )  # (B, D, 3)
+    stats = jax.vmap(lambda a, i, u: a.at[i].add(u, mode="drop"))(
+        trees.stats, desc.path, upd
+    )
+    return trees.replace(stats=stats)
 
 
 def root_winrate(tree: Tree, w: float) -> jnp.ndarray:
     """Root winrate in [0, 1] (``MCTS.winrate``, mcts.py:159-170)."""
-    n = tree.visits[tree.root]
-    v = ((1.0 - w) * tree.wq[tree.root] + w * tree.wv[tree.root]) / jnp.maximum(n, 1)
+    s = tree.stats[tree.root]
+    n = s[0]
+    v = ((1.0 - w) * s[1] + w * s[2]) / jnp.maximum(n, 1.0)
     return jnp.where(n > 0, (v + 1.0) / 2.0, 0.0)
 
 
 def choose_action(tree: Tree) -> jnp.ndarray:
     """Most-visited root child's action; PASS if the root has no children
     (``MCTS.choose``, mcts.py:110-131)."""
-    kids = tree.children[tree.root]
+    kids = tree.children[tree.root].astype(jnp.int32)
     valid = kids >= 0
-    n = jnp.where(valid, tree.visits[jnp.maximum(kids, 0)], -1)
+    n = jnp.where(valid, tree.stats[jnp.maximum(kids, 0), 0], -1.0)
     best = jnp.argmax(n)
     return jnp.where(jnp.any(valid), best, PASS_ACTION).astype(jnp.int32)
 
@@ -199,37 +249,59 @@ def init_trees(
 
 
 def search_step(
-    rng: jax.Array, trees: Tree, ev: Evaluator, params, cfg: SearchConfig
+    rng: jax.Array,
+    trees: Tree,
+    ev: Evaluator,
+    params,
+    cfg: SearchConfig,
+    step_idx: jnp.ndarray | int = 0,
 ) -> Tree:
     """One synchronized rollout across every tree (``MCTS.rollout`` n=1,
-    mcts.py:133-151)."""
+    mcts.py:133-151).
+
+    Performance: leaf values are cached at first visit (the reference's
+    ``_val_cache``/``_dist_cache``, mcts.py:42-44) and expansion only
+    happens past ``expand_thresh`` — so most rollouts need NO net forward
+    and NO successor generation.  Both are gated behind one batch-level
+    ``lax.cond``: when every tree's leaf is already valued and none needs
+    expansion, the step is pure descend + backprop.
+    """
     has_value = ev.has_value
     w = _mix_weight(cfg, has_value)
+    batch = trees.root.shape[0]
 
-    leaves = jax.vmap(partial(_descend_one, cfg=cfg, w=w))(trees)
-    leaf_states = jax.vmap(get_state)(trees, leaves)
-    probs, vals = _evaluate(ev, params, leaf_states)
+    desc = _descend_batch(trees, cfg, w)
+    leaves = desc.leaf
 
     need = (
-        (trees.visits[jnp.arange(leaves.shape[0]), leaves] > cfg.expand_thresh)
-        & ~trees.terminal[jnp.arange(leaves.shape[0]), leaves]
-        & ~trees.expanded[jnp.arange(leaves.shape[0]), leaves]
+        (_take_rows(trees.stats, leaves)[..., 0] > cfg.expand_thresh)
+        & ~_take_rows(trees.terminal, leaves)
+        & ~_take_rows(trees.expanded, leaves)
     )
-    trees = jax.vmap(
-        lambda t, l, p, nd: expand(t, l, p, nd, cfg.branch_num, cfg.max_turns)
-    )(trees, leaves, probs, need)
-    trees = jax.vmap(set_leaf_value)(trees, leaves, vals)
+    any_work = jnp.any(need) | jnp.any(
+        jnp.isnan(_take_rows(trees.value, leaves))
+    )
+    if cfg.eval_every > 1:
+        any_work = any_work & (jnp.asarray(step_idx) % cfg.eval_every == 0)
+
+    def eval_and_expand(trees):
+        leaf_states = gather_states(trees.nodes, leaves)
+        probs, vals = _evaluate(ev, params, leaf_states)
+        trees = jax.vmap(
+            lambda t, l, p, nd: expand(t, l, p, nd, cfg.branch_num, cfg.max_turns)
+        )(trees, leaves, probs, need)
+        return jax.vmap(set_leaf_value)(trees, leaves, vals)
+
+    trees = jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
 
     if cfg.no_sim:
-        sim_r = jnp.zeros(leaves.shape[0], jnp.float32)
+        sim_r = jnp.zeros(batch, jnp.float32)
         use_sim = False
     else:
-        sim_r = _simulate(rng, leaf_states, ev, params, cfg)
+        sim_r = _simulate(rng, gather_states(trees.nodes, leaves), ev, params, cfg)
         use_sim = True
 
-    trees = jax.vmap(
-        partial(_backprop_one, use_sim=use_sim, use_value=has_value)
-    )(trees, leaves, sim_r)
+    trees = _backprop_batch(trees, desc, sim_r, use_sim, has_value)
     return trees
 
 
@@ -266,11 +338,12 @@ def run_search(
 ) -> Tree:
     """Run ``n_rollouts`` synchronized rollouts (scan over search_step)."""
 
-    def body(t, r):
-        return search_step(r, t, ev, params, cfg), None
+    def body(t, xs):
+        i, r = xs
+        return search_step(r, t, ev, params, cfg, i), None
 
     rngs = jax.random.split(rng, n_rollouts)
-    trees, _ = jax.lax.scan(body, trees, rngs)
+    trees, _ = jax.lax.scan(body, trees, (jnp.arange(n_rollouts), rngs))
     return trees
 
 

@@ -5,7 +5,19 @@ per move (mcts.py:340-346) and hash-keyed ``Q/N/V/children`` dicts
 (mcts.py:50-53) — with struct-of-arrays node pools that live on device and
 are advanced by gather/scatter.  One ``Tree`` is a fixed pool of
 ``max_nodes`` slots; thousands of trees batch along a leading axis via
-``jax.vmap``.
+``jax.vmap`` (cold paths) or batch-level gathers (hot paths, see mcts.py).
+
+Layout notes (TPU-measured): a batched dynamic-index scatter materializes a
+full copy of its target array, so the per-rollout write set is packed into
+the fewest/smallest arrays possible —
+
+* ``stats f32[max_nodes, 3]`` holds (visits, W_sim, W_value) so backprop is
+  ONE scatter-add;
+* ``value`` uses NaN for "not yet evaluated" (merging the reference's
+  ``_val_cache`` membership test into the cached value itself);
+* ``children`` is int16 (pool capacity < 32768);
+* node states / parent / action / prior / flags are written only during
+  expansion, which the search gates to rare steps.
 
 Known divergences from the reference (documented; see SURVEY.md §7 risks):
 
@@ -30,7 +42,7 @@ from bokego_tpu.coords import NN
 from bokego_tpu.env import rules
 from bokego_tpu.env.state import GoState
 
-NULL = jnp.int32(-1)
+NULL = jnp.int16(-1)
 
 
 @struct.dataclass
@@ -40,13 +52,10 @@ class Tree:
     nodes: GoState  # (max_nodes, ...) — position at each node
     parent: jnp.ndarray  # int32[max_nodes]
     action: jnp.ndarray  # int32[max_nodes] — move that led here
-    children: jnp.ndarray  # int32[max_nodes, 81] — node index or -1
+    children: jnp.ndarray  # int16[max_nodes, 81] — node index or -1
     prior: jnp.ndarray  # float32[max_nodes] — policy prior of own action
-    visits: jnp.ndarray  # int32[max_nodes] — N
-    wq: jnp.ndarray  # float32[max_nodes] — accumulated simulation rewards
-    wv: jnp.ndarray  # float32[max_nodes] — accumulated value-net rewards
-    value: jnp.ndarray  # float32[max_nodes] — cached leaf value (to-move POV)
-    val_known: jnp.ndarray  # bool[max_nodes]
+    stats: jnp.ndarray  # float32[max_nodes, 3] — (N, W_sim, W_value)
+    value: jnp.ndarray  # float32[max_nodes] — cached leaf value; NaN unknown
     expanded: jnp.ndarray  # bool[max_nodes]
     terminal: jnp.ndarray  # bool[max_nodes]
     n_nodes: jnp.ndarray  # int32 — allocation pointer
@@ -54,7 +63,24 @@ class Tree:
 
     @property
     def capacity(self) -> int:
-        return self.parent.shape[0]
+        return self.parent.shape[-1]
+
+    # Compatibility views (reference names: N / Q / V dicts, mcts.py:50-53).
+    @property
+    def visits(self) -> jnp.ndarray:
+        return self.stats[..., 0].astype(jnp.int32)
+
+    @property
+    def wq(self) -> jnp.ndarray:
+        return self.stats[..., 1]
+
+    @property
+    def wv(self) -> jnp.ndarray:
+        return self.stats[..., 2]
+
+    @property
+    def val_known(self) -> jnp.ndarray:
+        return ~jnp.isnan(self.value)
 
 
 def empty_tree(root_state: GoState, max_nodes: int, max_turns: int) -> Tree:
@@ -65,15 +91,12 @@ def empty_tree(root_state: GoState, max_nodes: int, max_turns: int) -> Tree:
     nodes = jax.tree.map(lambda pool, v: pool.at[0].set(v), nodes, root_state)
     return Tree(
         nodes=nodes,
-        parent=jnp.full((max_nodes,), NULL, jnp.int32),
-        action=jnp.full((max_nodes,), NULL, jnp.int32),
-        children=jnp.full((max_nodes, NN), NULL, jnp.int32),
+        parent=jnp.full((max_nodes,), -1, jnp.int32),
+        action=jnp.full((max_nodes,), -1, jnp.int32),
+        children=jnp.full((max_nodes, NN), NULL, jnp.int16),
         prior=jnp.zeros((max_nodes,), jnp.float32),
-        visits=jnp.zeros((max_nodes,), jnp.int32),
-        wq=jnp.zeros((max_nodes,), jnp.float32),
-        wv=jnp.zeros((max_nodes,), jnp.float32),
-        value=jnp.zeros((max_nodes,), jnp.float32),
-        val_known=jnp.zeros((max_nodes,), bool),
+        stats=jnp.zeros((max_nodes, 3), jnp.float32),
+        value=jnp.full((max_nodes,), jnp.nan, jnp.float32),
         expanded=jnp.zeros((max_nodes,), bool),
         terminal=jnp.zeros((max_nodes,), bool)
         .at[0]
@@ -101,8 +124,10 @@ def expand(
     Mirrors ``MCTS._expand`` + ``Go_MCTS.find_children`` (mcts.py:185-192,
     309-317): all legal point moves (PASS is never a tree edge), optionally
     restricted to the top-``branch_num`` prior moves.  No-op when ``need``
-    is False or the pool lacks room.  Slot allocation is compacted (one slot
-    per legal child).
+    is False, the node is terminal, or the pool lacks room.  Slot
+    allocation is compacted (one slot per legal child); freshly allocated
+    slots rely on pool defaults for stats (0) and value (NaN) — slots are
+    never reused within a tree's lifetime.
     """
     state = get_state(tree, node)
     csts, legal = rules.child_states(state)
@@ -130,14 +155,13 @@ def expand(
         parent=tree.parent.at[slots].set(node, mode="drop"),
         action=tree.action.at[slots].set(jnp.arange(NN), mode="drop"),
         children=tree.children.at[node].set(
-            jnp.where(did, jnp.where(write, slots, NULL), tree.children[node])
+            jnp.where(
+                did,
+                jnp.where(write, slots, -1),
+                tree.children[node],
+            ).astype(jnp.int16)
         ),
         prior=tree.prior.at[slots].set(probs, mode="drop"),
-        visits=tree.visits.at[slots].set(0, mode="drop"),
-        wq=tree.wq.at[slots].set(0.0, mode="drop"),
-        wv=tree.wv.at[slots].set(0.0, mode="drop"),
-        value=tree.value.at[slots].set(0.0, mode="drop"),
-        val_known=tree.val_known.at[slots].set(False, mode="drop"),
         expanded=tree.expanded.at[node].set(tree.expanded[node] | did),
         terminal=tree.terminal.at[slots].set(child_terminal, mode="drop"),
         n_nodes=jnp.where(did, tree.n_nodes + count, tree.n_nodes),
@@ -147,8 +171,6 @@ def expand(
 def set_leaf_value(tree: Tree, node: jnp.ndarray, val: jnp.ndarray) -> Tree:
     """Cache the value-net output at first visit (the reference's
     ``_val_cache``, mcts.py:42,393-403)."""
-    known = tree.val_known[node]
-    return tree.replace(
-        value=tree.value.at[node].set(jnp.where(known, tree.value[node], val)),
-        val_known=tree.val_known.at[node].set(True),
-    )
+    old = tree.value[node]
+    new = jnp.where(jnp.isnan(old), val, old)
+    return tree.replace(value=tree.value.at[node].set(new))
