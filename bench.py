@@ -23,7 +23,7 @@ def main():
     # Scale the measurement to the platform so CI on CPU still produces a
     # number; the driver runs this on one real TPU chip.
     if on_tpu:
-        batch, n_moves, n_rollouts = 512, 80, 400
+        batch, n_moves, n_rollouts = 1024, 80, 400
     else:
         batch, n_moves, n_rollouts = 8, 4, 8
 
@@ -36,8 +36,12 @@ def main():
         expand_thresh=100,
         no_sim=True,
         max_turns=80,
-        max_nodes=768,
+        max_nodes=512,
         n_rollouts=n_rollouts,
+        # TPU perf mode: Pallas fused descend/backprop + amortized eval
+        use_kernel=on_tpu,
+        kernel_block=32,
+        eval_every=8 if on_tpu else 1,
     )
     ev = mcts.net_evaluator(has_value=True)
     from bokego_tpu.models import init_policy, init_value

@@ -30,6 +30,12 @@ class SearchConfig:
     max_depth: int = 64  # PUCT descend depth bound (path-recording size);
     # deeper descents stop early at an internal node (never reached with
     # default expand_thresh; raise for thresh≈0 AlphaZero-style searches)
+    use_kernel: bool = False  # use the Pallas fused descend/backprop kernel
+    # (ops/rollout.py) for the rollout hot loop. no_sim mode only. Combines
+    # with eval_every > 1; on eval steps the first visit of a fresh leaf
+    # backs up a neutral value (the kernel backprops before valuation).
+    kernel_levels: int = 8  # kernel descend depth bound (rows scratch size)
+    kernel_block: int = 8  # trees per kernel program
     eval_every: int = 1  # run the leaf-eval/expansion phase only on every
     # E-th rollout. 1 = exact reference semantics. >1 amortizes the net
     # forward + successor generation across rollouts for large tree

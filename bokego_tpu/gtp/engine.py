@@ -147,14 +147,18 @@ class GTPEngine:
         return float(mcts.root_winrate(t0, self._w))
 
     def _root_child_visits(self) -> dict[int, int]:
-        """action -> summed visits across the forest."""
+        """action -> summed visits across the forest (root-parallel
+        vote-combining, the unfinished ``Forest.forest_choose``,
+        gtp.py:426-428, done properly)."""
+        from bokego_tpu.search import tree as tr
+
+        roots = np.asarray(self.trees.root)
+        pstats = np.asarray(self.trees.pstats)
         out: dict[int, int] = {}
         for f in range(self.forest):
-            t = jax.tree.map(lambda x: x[f], self.trees)
-            kids = np.asarray(t.children[int(t.root)])
-            visits = np.asarray(t.visits)
-            for a in np.flatnonzero(kids >= 0):
-                out[int(a)] = out.get(int(a), 0) + int(visits[kids[a]])
+            row = pstats[f, roots[f]]  # (8, 128) channel planes
+            for a in np.flatnonzero(row[tr.C_CHILD, :NN] >= 0):
+                out[int(a)] = out.get(int(a), 0) + int(row[tr.C_N, a])
         return out
 
     def _apply_move(self, action: int):
@@ -219,37 +223,34 @@ class GTPEngine:
                 yield "\n"
                 break
             visits = self._root_child_visits()
-            t0 = jax.tree.map(lambda x: x[0], self.trees)
-            kids = np.asarray(t0.children[int(t0.root)])
-            vis = np.asarray(t0.visits)
-            wq, wv = np.asarray(t0.wq), np.asarray(t0.wv)
-            prior = np.asarray(t0.prior)
-            parent = np.asarray(t0.parent)
-            children = np.asarray(t0.children)
+            from bokego_tpu.search import tree as tr
+
+            pstats = np.asarray(jax.tree.map(lambda x: x[0], self.trees).pstats)
+            root = int(np.asarray(self.trees.root)[0])
+            row = pstats[root]  # (8, 128) channel planes
             best = sorted(visits, key=lambda a: visits[a])[-k:]
             out = ""
             for a in best:
-                node = int(kids[a])
-                n = max(int(vis[node]), 1)
-                v = ((1 - self._w) * wq[node] + self._w * wv[node]) / n
+                n = max(int(row[tr.C_N, a]), 1)
+                v = ((1 - self._w) * row[tr.C_WQ, a] + self._w * row[tr.C_WV, a]) / n
                 child_wr = (v + 1) / 2
                 pv = [a]
-                cur = node
-                while True:
-                    ck = children[cur]
-                    valid = ck >= 0
+                cur = int(row[tr.C_CHILD, a])
+                while cur >= 0:
+                    crow = pstats[cur]
+                    valid = crow[tr.C_CHILD, :NN] >= 0
                     if not valid.any():
                         break
-                    cn = np.where(valid, vis[np.maximum(ck, 0)], -1)
+                    cn = np.where(valid, crow[tr.C_N, :NN], -1.0)
                     nxt = int(np.argmax(cn))
                     if cn[nxt] <= 0:
                         break
                     pv.append(nxt)
-                    cur = int(ck[nxt])
+                    cur = int(crow[tr.C_CHILD, nxt])
                 out += (
                     f"info move {unsquash(a)} visits {visits[a]} "
                     f"winrate {10000 * (1 - child_wr):.0f} "
-                    f"prior {10000 * prior[node]:.0f} "
+                    f"prior {10000 * row[tr.C_PRIOR, a]:.0f} "
                     "pv " + " ".join(unsquash(pv)) + " "
                 )
             yield out + "\n"

@@ -33,6 +33,7 @@ from bokego_tpu.env.state import GoState
 from bokego_tpu.features import features_batch
 from bokego_tpu.models import inference
 from bokego_tpu.search import playout as po
+from bokego_tpu.search import tree as tr_mod
 from bokego_tpu.search.tree import Tree, empty_tree, expand, get_state, set_leaf_value
 
 
@@ -102,6 +103,8 @@ def gather_states(nodes: GoState, idx: jnp.ndarray) -> GoState:
 class _Descent(NamedTuple):
     leaf: jnp.ndarray  # (B,) leaf node index per tree
     path: jnp.ndarray  # (B, max_depth) node indices; Nmax (OOB) where unused
+    acts: jnp.ndarray  # (B, max_depth) action taken at each internal level
+    leaf_n: jnp.ndarray  # (B,) visit count of the leaf (from its edge entry)
     depth: jnp.ndarray  # (B,) index of the leaf within path
 
 
@@ -117,32 +120,43 @@ def _descend_batch(trees: Tree, cfg: SearchConfig, w: float) -> _Descent:
     cap = trees.parent.shape[1]  # Nmax (OOB sentinel for path scatters)
 
     def level(carry):
-        cur, done, path, depth, i = carry
-        kids = _take_rows(trees.children, cur).astype(jnp.int32)  # (B, 81)
+        cur, done, path, acts, leaf_n, depth, i = carry
+        row = _take_rows(trees.pstats, cur)  # (B, 8, 128) — one row per level
+        kids = row[:, tr_mod.C_CHILD, :NN]
         valid = kids >= 0
         # terminal nodes never have children (expand refuses them), so
         # "has any child" alone decides internal-ness.
         internal = jnp.any(valid, axis=1) & ~done
-        idx = jnp.maximum(kids, 0)
-        st3 = jnp.take_along_axis(trees.stats, idx[..., None], axis=1)  # (B,81,3)
-        nf, wq, wv = st3[..., 0], st3[..., 1], st3[..., 2]
-        prior = jnp.take_along_axis(trees.prior, idx, axis=1)
-        avg = jnp.where(nf > 0, ((1.0 - w) * wq + w * wv) / jnp.maximum(nf, 1.0), 0.0)
+        nf = row[:, tr_mod.C_N, :NN]
+        avg = jnp.where(
+            nf > 0,
+            ((1.0 - w) * row[:, tr_mod.C_WQ, :NN] + w * row[:, tr_mod.C_WV, :NN])
+            / jnp.maximum(nf, 1.0),
+            0.0,
+        )
         total = jnp.maximum(jnp.sum(jnp.where(valid, nf, 0.0), axis=1), 1.0)
-        score = -avg + c * prior * jnp.sqrt(total)[:, None] / (1.0 + nf)
+        score = -avg + c * row[:, tr_mod.C_PRIOR, :NN] * jnp.sqrt(total)[:, None] / (
+            1.0 + nf
+        )
         score = jnp.where(valid, score, -jnp.inf)
-        best = jnp.take_along_axis(kids, jnp.argmax(score, axis=1)[:, None], axis=1)[
-            :, 0
-        ]
+        best_a = jnp.argmax(score, axis=1)
+        best = jnp.take_along_axis(kids, best_a[:, None], axis=1)[:, 0].astype(
+            jnp.int32
+        )
+        picked_n = jnp.take_along_axis(nf, best_a[:, None], axis=1)[:, 0]
         nxt = jnp.where(internal, best, cur)
+        leaf_n = jnp.where(internal, picked_n, leaf_n)
         depth = jnp.where(internal, depth + 1, depth)
         path = jax.lax.dynamic_update_index_in_dim(
             path, jnp.where(internal, nxt, cap), i + 1, axis=1
         )
-        return nxt, done | ~internal, path, depth, i + 1
+        acts = jax.lax.dynamic_update_index_in_dim(
+            acts, jnp.where(internal, best_a, 0), i, axis=1
+        )
+        return nxt, done | ~internal, path, acts, leaf_n, depth, i + 1
 
     def cond(carry):
-        _, done, _, _, i = carry
+        _, done, _, _, _, _, i = carry
         return jnp.any(~done) & (i < cfg.max_depth - 1)
 
     path0 = jnp.full((batch, cfg.max_depth), cap, jnp.int32)
@@ -151,11 +165,13 @@ def _descend_batch(trees: Tree, cfg: SearchConfig, w: float) -> _Descent:
         trees.root,
         jnp.zeros((batch,), bool),
         path0,
+        jnp.zeros((batch, cfg.max_depth), jnp.int32),
+        jnp.zeros((batch,), jnp.float32),  # visit count of the leaf
         jnp.zeros((batch,), jnp.int32),
         jnp.int32(0),
     )
-    leaf, _, path, depth, _ = jax.lax.while_loop(cond, level, init)
-    return _Descent(leaf=leaf, path=path, depth=depth)
+    leaf, _, path, acts, leaf_n, depth, _ = jax.lax.while_loop(cond, level, init)
+    return _Descent(leaf=leaf, path=path, acts=acts, leaf_n=leaf_n, depth=depth)
 
 
 def _backprop_batch(
@@ -178,6 +194,8 @@ def _backprop_batch(
     parity = (desc.depth[:, None] - ii) % 2
     sign = jnp.where(parity == 0, 1.0, -1.0)
 
+    # Node path[j] (j>=1) lives at edge (path[j-1], acts[j-1]); the root's
+    # own stats live in root_stats.
     upd = jnp.stack(
         [
             jnp.ones((trees.root.shape[0], D), jnp.float32),
@@ -185,27 +203,49 @@ def _backprop_batch(
             sign * leaf_val[:, None] if use_value else jnp.zeros_like(sign),
         ],
         axis=-1,
-    )  # (B, D, 3)
-    stats = jax.vmap(lambda a, i, u: a.at[i].add(u, mode="drop"))(
-        trees.stats, desc.path, upd
+    )  # (B, D, 3): update for node path[j] uses sign[:, j]
+    jj = jnp.arange(1, D)[None, :]
+    valid_edge = jj <= desc.depth[:, None]
+    cap = trees.parent.shape[-1]
+    parent_rows = jnp.where(valid_edge, desc.path[:, :-1], cap)  # OOB -> drop
+    edge_acts = desc.acts[:, : D - 1]
+    edge_upd = upd[:, 1:, :]
+    def upd_one(a, r, ac, u):
+        a = a.at[r, tr_mod.C_N, ac].add(u[:, 0], mode="drop")
+        if use_sim:
+            a = a.at[r, tr_mod.C_WQ, ac].add(u[:, 1], mode="drop")
+        if use_value:
+            a = a.at[r, tr_mod.C_WV, ac].add(u[:, 2], mode="drop")
+        return a
+
+    pstats = jax.vmap(upd_one)(trees.pstats, parent_rows, edge_acts, edge_upd)
+    root_sign = jnp.where(desc.depth % 2 == 0, 1.0, -1.0)
+    root_upd = jnp.stack(
+        [
+            jnp.ones_like(root_sign),
+            root_sign * sim_reward if use_sim else jnp.zeros_like(root_sign),
+            root_sign * leaf_val if use_value else jnp.zeros_like(root_sign),
+        ],
+        axis=-1,
     )
-    return trees.replace(stats=stats)
+    return trees.replace(
+        pstats=pstats, root_stats=trees.root_stats + root_upd
+    )
 
 
 def root_winrate(tree: Tree, w: float) -> jnp.ndarray:
     """Root winrate in [0, 1] (``MCTS.winrate``, mcts.py:159-170)."""
-    s = tree.stats[tree.root]
-    n = s[0]
-    v = ((1.0 - w) * s[1] + w * s[2]) / jnp.maximum(n, 1.0)
-    return jnp.where(n > 0, (v + 1.0) / 2.0, 0.0)
+    n, q, v = tree.root_stats[0], tree.root_stats[1], tree.root_stats[2]
+    mixed = ((1.0 - w) * q + w * v) / jnp.maximum(n, 1.0)
+    return jnp.where(n > 0, (mixed + 1.0) / 2.0, 0.0)
 
 
 def choose_action(tree: Tree) -> jnp.ndarray:
     """Most-visited root child's action; PASS if the root has no children
     (``MCTS.choose``, mcts.py:110-131)."""
-    kids = tree.children[tree.root].astype(jnp.int32)
-    valid = kids >= 0
-    n = jnp.where(valid, tree.stats[jnp.maximum(kids, 0), 0], -1.0)
+    row = tree.pstats[tree.root]  # (8, 128)
+    valid = row[tr_mod.C_CHILD, :NN] >= 0
+    n = jnp.where(valid, row[tr_mod.C_N, :NN], -1.0)
     best = jnp.argmax(n)
     return jnp.where(jnp.any(valid), best, PASS_ACTION).astype(jnp.int32)
 
@@ -270,11 +310,15 @@ def search_step(
     w = _mix_weight(cfg, has_value)
     batch = trees.root.shape[0]
 
+    if cfg.use_kernel and cfg.no_sim:
+        return _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value)
+
     desc = _descend_batch(trees, cfg, w)
     leaves = desc.leaf
 
+    leaf_visits = jnp.where(desc.depth > 0, desc.leaf_n, trees.root_stats[..., 0])
     need = (
-        (_take_rows(trees.stats, leaves)[..., 0] > cfg.expand_thresh)
+        (leaf_visits > cfg.expand_thresh)
         & ~_take_rows(trees.terminal, leaves)
         & ~_take_rows(trees.expanded, leaves)
     )
@@ -292,8 +336,6 @@ def search_step(
         )(trees, leaves, probs, need)
         return jax.vmap(set_leaf_value)(trees, leaves, vals)
 
-    trees = jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
-
     if cfg.no_sim:
         sim_r = jnp.zeros(batch, jnp.float32)
         use_sim = False
@@ -301,8 +343,70 @@ def search_step(
         sim_r = _simulate(rng, gather_states(trees.nodes, leaves), ev, params, cfg)
         use_sim = True
 
-    trees = _backprop_batch(trees, desc, sim_r, use_sim, has_value)
+    if cfg.eval_every > 1:
+        # Delayed-valuation ordering (same as the Pallas kernel path):
+        # backprop with the current cached value, then evaluate/expand.
+        trees = _backprop_batch(trees, desc, sim_r, use_sim, has_value)
+        trees = jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
+    else:
+        # Exact reference ordering: evaluate the leaf, then backprop it
+        # (MCTS.rollout, mcts.py:139-151).
+        trees = jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
+        trees = _backprop_batch(trees, desc, sim_r, use_sim, has_value)
     return trees
+
+
+def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
+    """Rollout via the Pallas fused descend/backprop kernel (in-place stat
+    updates; see ops/rollout.py).  no_sim only."""
+    import jax as _jax
+
+    from bokego_tpu.ops.rollout import descend_backprop
+
+    interpret = _jax.default_backend() == "cpu"
+    pstats, kd = descend_backprop(
+        trees.pstats,
+        trees.value,
+        trees.root,
+        c=cfg.exploration_weight,
+        w=w,
+        use_value=has_value,
+        levels=cfg.kernel_levels,
+        tb=cfg.kernel_block,
+        interpret=interpret,
+    )
+    root_sign = jnp.where(kd.depth % 2 == 0, 1.0, -1.0)
+    root_upd = jnp.stack(
+        [
+            jnp.ones_like(root_sign),
+            jnp.zeros_like(root_sign),
+            root_sign * kd.leaf_val if has_value else jnp.zeros_like(root_sign),
+        ],
+        axis=-1,
+    )
+    old_root_n = trees.root_stats[..., 0]
+    trees = trees.replace(pstats=pstats, root_stats=trees.root_stats + root_upd)
+
+    leaves = kd.leaf
+    leaf_visits = jnp.where(kd.depth > 0, kd.leaf_n, old_root_n)
+    need = (
+        (leaf_visits > cfg.expand_thresh)
+        & ~_take_rows(trees.terminal, leaves)
+        & ~_take_rows(trees.expanded, leaves)
+    )
+    any_work = jnp.any(need) | jnp.any(kd.leaf_unvalued > 0)
+    if cfg.eval_every > 1:
+        any_work = any_work & (jnp.asarray(step_idx) % cfg.eval_every == 0)
+
+    def eval_and_expand(trees):
+        leaf_states = gather_states(trees.nodes, leaves)
+        probs, vals = _evaluate(ev, params, leaf_states)
+        trees = jax.vmap(
+            lambda t, l, p, nd: expand(t, l, p, nd, cfg.branch_num, cfg.max_turns)
+        )(trees, leaves, probs, need)
+        return jax.vmap(set_leaf_value)(trees, leaves, vals)
+
+    return jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
 
 
 def _simulate(

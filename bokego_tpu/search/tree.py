@@ -2,27 +2,24 @@
 
 Replaces the reference's object-graph tree — ``Go_MCTS`` nodes deepcopied
 per move (mcts.py:340-346) and hash-keyed ``Q/N/V/children`` dicts
-(mcts.py:50-53) — with struct-of-arrays node pools that live on device and
-are advanced by gather/scatter.  One ``Tree`` is a fixed pool of
-``max_nodes`` slots; thousands of trees batch along a leading axis via
-``jax.vmap`` (cold paths) or batch-level gathers (hot paths, see mcts.py).
+(mcts.py:50-53) — with struct-of-arrays node pools advanced by
+gather/scatter.  One ``Tree`` is a fixed pool of ``max_nodes`` slots;
+thousands of trees batch along a leading axis.
 
-Layout notes (TPU-measured): a batched dynamic-index scatter materializes a
-full copy of its target array, so the per-rollout write set is packed into
-the fewest/smallest arrays possible —
-
-* ``stats f32[max_nodes, 3]`` holds (visits, W_sim, W_value) so backprop is
-  ONE scatter-add;
-* ``value`` uses NaN for "not yet evaluated" (merging the reference's
-  ``_val_cache`` membership test into the cached value itself);
-* ``children`` is int16 (pool capacity < 32768);
-* node states / parent / action / prior / flags are written only during
-  expansion, which the search gates to rare steps.
+Layout (TPU-measured design): all per-edge search state lives in
+*per-parent rows* — ``pstats f32[max_nodes, 81, 5]`` holds, for each
+(node, action): child visit count N, accumulated simulation reward W_sim,
+accumulated value W_val, policy prior, and the child's node index (exact in
+f32).  One contiguous row read serves a whole PUCT level (TPU's scattered
+gathers are slow; row gathers are fast), and the Pallas rollout kernel
+(ops/rollout.py) updates rows in place during backprop, avoiding the
+full-array copies XLA materializes for batched scatters.  The root's own
+stats (it has no parent edge) live in ``root_stats f32[3]``.
 
 Known divergences from the reference (documented; see SURVEY.md §7 risks):
 
 * The reference merges transpositions across the whole tree because its
-  stat dicts key on position equality (mcts.py:294-298).  Array trees are
+  stat dicts key on position equality (mcts.py:294-296).  Array trees are
   path-trees; identical positions reached by different orders keep separate
   stats.
 * ``choose`` ties break toward the lowest action index instead of Python
@@ -42,20 +39,29 @@ from bokego_tpu.coords import NN
 from bokego_tpu.env import rules
 from bokego_tpu.env.state import GoState
 
-NULL = jnp.int16(-1)
+# pstats channel planes. Rows are stored TPU-tile-shaped: each node's row is
+# an (8, 128) f32 block (channel planes x lane-padded actions) so the Pallas
+# kernel can DMA single rows legally (Mosaic requires sliced trailing dims to
+# be tile-aligned). Lanes >= 81 and planes >= 5 are padding; the child plane
+# pads with -1 so "no child" masking covers them automatically.
+C_N, C_WQ, C_WV, C_PRIOR, C_CHILD = 0, 1, 2, 3, 4
+NUM_CH = 5
+CH_PAD = 8
+LANE_PAD = 128
+NO_CHILD = -1.0
 
 
 @struct.dataclass
 class Tree:
-    """A fixed-capacity search tree (one game). Batched via vmap."""
+    """A fixed-capacity search tree (one game). Batched via a leading axis."""
 
     nodes: GoState  # (max_nodes, ...) — position at each node
     parent: jnp.ndarray  # int32[max_nodes]
     action: jnp.ndarray  # int32[max_nodes] — move that led here
-    children: jnp.ndarray  # int16[max_nodes, 81] — node index or -1
-    prior: jnp.ndarray  # float32[max_nodes] — policy prior of own action
-    stats: jnp.ndarray  # float32[max_nodes, 3] — (N, W_sim, W_value)
-    value: jnp.ndarray  # float32[max_nodes] — cached leaf value; NaN unknown
+    pstats: jnp.ndarray  # f32[max_nodes, 8, 128] — channel planes (N, Wq,
+    # Wv, prior, child) x lane-padded actions (see CH_PAD/LANE_PAD above)
+    root_stats: jnp.ndarray  # f32[3] — root's own (N, Wq, Wv)
+    value: jnp.ndarray  # f32[max_nodes] — cached leaf value; NaN = unknown
     expanded: jnp.ndarray  # bool[max_nodes]
     terminal: jnp.ndarray  # bool[max_nodes]
     n_nodes: jnp.ndarray  # int32 — allocation pointer
@@ -65,22 +71,48 @@ class Tree:
     def capacity(self) -> int:
         return self.parent.shape[-1]
 
-    # Compatibility views (reference names: N / Q / V dicts, mcts.py:50-53).
     @property
-    def visits(self) -> jnp.ndarray:
-        return self.stats[..., 0].astype(jnp.int32)
-
-    @property
-    def wq(self) -> jnp.ndarray:
-        return self.stats[..., 1]
-
-    @property
-    def wv(self) -> jnp.ndarray:
-        return self.stats[..., 2]
+    def children(self) -> jnp.ndarray:
+        """int32[..., max_nodes, 81] child indices (-1 = none)."""
+        return self.pstats[..., C_CHILD, :NN].astype(jnp.int32)
 
     @property
     def val_known(self) -> jnp.ndarray:
         return ~jnp.isnan(self.value)
+
+    @property
+    def visits(self) -> jnp.ndarray:
+        """int32[..., max_nodes] per-node visit counts (root included)."""
+        return _node_stat(self, C_N).astype(jnp.int32)
+
+    @property
+    def wq(self) -> jnp.ndarray:
+        return _node_stat(self, C_WQ)
+
+    @property
+    def wv(self) -> jnp.ndarray:
+        return _node_stat(self, C_WV)
+
+    @property
+    def node_prior(self) -> jnp.ndarray:
+        """Per-node prior of the action that led to each node."""
+        return _node_stat(self, C_PRIOR)
+
+
+def _node_stat(tree: Tree, channel: int) -> jnp.ndarray:
+    """(..., max_nodes) per-node stat gathered from parent rows."""
+    p = jnp.maximum(tree.parent, 0)
+    a = jnp.maximum(tree.action, 0)
+    ch = tree.pstats[..., channel, :NN]  # (..., N, 81)
+    p_full = jnp.broadcast_to(p[..., None], p.shape + (NN,))
+    rows = jnp.take_along_axis(ch, p_full, axis=-2)  # (..., N, 81)
+    vals = jnp.take_along_axis(rows, a[..., None], axis=-1)[..., 0]
+    is_root = jnp.arange(tree.parent.shape[-1]) == tree.root[..., None]
+    if channel <= C_WV:
+        root_val = tree.root_stats[..., channel, None]
+    else:
+        root_val = jnp.zeros_like(vals[..., :1])  # root has no prior edge
+    return jnp.where(is_root, root_val, jnp.where(tree.parent >= 0, vals, 0.0))
 
 
 def empty_tree(root_state: GoState, max_nodes: int, max_turns: int) -> Tree:
@@ -89,13 +121,14 @@ def empty_tree(root_state: GoState, max_nodes: int, max_turns: int) -> Tree:
         lambda x: jnp.zeros((max_nodes,) + x.shape, x.dtype), root_state
     )
     nodes = jax.tree.map(lambda pool, v: pool.at[0].set(v), nodes, root_state)
+    pstats = jnp.zeros((max_nodes, CH_PAD, LANE_PAD), jnp.float32)
+    pstats = pstats.at[:, C_CHILD, :].set(NO_CHILD)
     return Tree(
         nodes=nodes,
         parent=jnp.full((max_nodes,), -1, jnp.int32),
         action=jnp.full((max_nodes,), -1, jnp.int32),
-        children=jnp.full((max_nodes, NN), NULL, jnp.int16),
-        prior=jnp.zeros((max_nodes,), jnp.float32),
-        stats=jnp.zeros((max_nodes, 3), jnp.float32),
+        pstats=pstats,
+        root_stats=jnp.zeros((3,), jnp.float32),
         value=jnp.full((max_nodes,), jnp.nan, jnp.float32),
         expanded=jnp.zeros((max_nodes,), bool),
         terminal=jnp.zeros((max_nodes,), bool)
@@ -125,9 +158,8 @@ def expand(
     309-317): all legal point moves (PASS is never a tree edge), optionally
     restricted to the top-``branch_num`` prior moves.  No-op when ``need``
     is False, the node is terminal, or the pool lacks room.  Slot
-    allocation is compacted (one slot per legal child); freshly allocated
-    slots rely on pool defaults for stats (0) and value (NaN) — slots are
-    never reused within a tree's lifetime.
+    allocation is compacted; fresh slots rely on pool defaults (stats 0,
+    value NaN) — slots are never reused within a tree's lifetime.
     """
     state = get_state(tree, node)
     csts, legal = rules.child_states(state)
@@ -150,18 +182,18 @@ def expand(
     child_terminal = rules.is_terminal_batch(point_children, max_turns)
 
     did = need & room
+    row = tree.pstats[node]
+    new_row = jnp.zeros((CH_PAD, LANE_PAD), jnp.float32)
+    new_row = new_row.at[C_CHILD].set(NO_CHILD)
+    new_row = new_row.at[C_PRIOR, :NN].set(probs)
+    new_row = new_row.at[C_CHILD, :NN].set(
+        jnp.where(write, slots.astype(jnp.float32), NO_CHILD)
+    )
     return tree.replace(
         nodes=nodes,
         parent=tree.parent.at[slots].set(node, mode="drop"),
         action=tree.action.at[slots].set(jnp.arange(NN), mode="drop"),
-        children=tree.children.at[node].set(
-            jnp.where(
-                did,
-                jnp.where(write, slots, -1),
-                tree.children[node],
-            ).astype(jnp.int16)
-        ),
-        prior=tree.prior.at[slots].set(probs, mode="drop"),
+        pstats=tree.pstats.at[node].set(jnp.where(did, new_row, row)),
         expanded=tree.expanded.at[node].set(tree.expanded[node] | did),
         terminal=tree.terminal.at[slots].set(child_terminal, mode="drop"),
         n_nodes=jnp.where(did, tree.n_nodes + count, tree.n_nodes),
