@@ -40,7 +40,7 @@ def main():
         n_rollouts=n_rollouts,
         # TPU perf mode: Pallas fused descend/backprop + amortized eval
         use_kernel=on_tpu,
-        kernel_block=32,
+        kernel_block=64,
         eval_every=8 if on_tpu else 1,
     )
     ev = mcts.net_evaluator(has_value=True)

@@ -200,7 +200,10 @@ class GTPEngine:
             self.rollout(self.n_rollouts)
         visits = self._root_child_visits()
         if not visits:
-            action = PASS_ACTION
+            # no expanded children (terminal root / zero-rollout config):
+            # sample from the policy like MCTS.choose -> find_random_child
+            # (mcts.py:120-121, 319-324)
+            action = self._policy_fallback_action()
         else:
             action = max(sorted(visits), key=lambda a: visits[a])
         mv = from_action(action)
@@ -209,6 +212,19 @@ class GTPEngine:
         self._move_history.append(mv)
         self._undid = False
         return mv
+
+    def _policy_fallback_action(self) -> int:
+        """Sample a legal non-eye move from the policy; PASS if none
+        (``Go_MCTS.get_move`` semantics, mcts.py:348-360)."""
+        batch = jax.tree.map(lambda x: x[None], self.state)
+        probs = self.ev.policy_probs(self.params, batch)
+        from bokego_tpu.search.playout import select_moves
+
+        mv = select_moves(
+            self._next_rng(), probs, batch, avoid_eyes=True,
+            done=jnp.zeros((1,), bool),
+        )
+        return int(mv[0])
 
     # -- analyze ------------------------------------------------------------
 

@@ -173,3 +173,18 @@ def test_forest_mode():
     mv = ok(eng, "genmove black")
     assert mv
     assert eng.forest == 3
+
+
+def test_zero_rollout_genmove_policy_fallback():
+    """With no rollouts, genmove still produces a legal move via policy
+    sampling (reference choose -> find_random_child)."""
+    eng = GTPEngine(
+        fake_evaluator(),
+        None,
+        SearchConfig(expand_thresh=4, no_sim=True, max_nodes=16),  # pool too
+        # small to expand the root -> no children -> fallback path
+        EngineConfig(time_lim=None, n_rollouts=4, pondering=False),
+    )
+    eng.running = True
+    mv = ok(eng, "genmove black")
+    assert mv and mv != "resign"
