@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of root-parallel trees")
     p.add_argument("--no-ponder", action="store_true",
                    help="disable pondering between commands")
+    p.add_argument("--fast", action="store_true",
+                   help="TPU perf mode: Pallas rollout kernel + amortized "
+                        "leaf evaluation (eval_every=8)")
     return p
 
 
@@ -70,7 +73,21 @@ def main(argv=None):
     value_vars = load_variables(args.v, "value")
     params = {"policy": policy_vars, "value": value_vars}
 
-    scfg = SearchConfig(no_sim=not args.simulate)
+    import jax
+
+    on_accel = jax.default_backend() != "cpu"
+    if args.fast and on_accel:
+        forest = max(1, args.forest)
+        tb = next(k for k in (8, 4, 2, 1) if forest % k == 0)
+        scfg = SearchConfig(
+            no_sim=not args.simulate,
+            use_kernel=not args.simulate,
+            eval_every=8,
+            kernel_block=tb,  # must divide the forest batch
+            max_nodes=512,
+        )
+    else:
+        scfg = SearchConfig(no_sim=not args.simulate)
     ecfg = EngineConfig(
         time_lim=None if args.r else args.t,
         n_rollouts=args.r,
