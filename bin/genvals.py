@@ -5,6 +5,11 @@ Generates labeled positions in device batches and appends them (×8 dihedral
 augmentation) to a CSV consumable by bin/train.py.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

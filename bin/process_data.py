@@ -2,6 +2,11 @@
 """Featurize a CSV of positions into a compressed npz (reference:
 ``nnet.process_csv``, nnet.py:366-383 — fixed and batched on device)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 

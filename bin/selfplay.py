@@ -5,6 +5,11 @@ Plays the latest pool policy against randomly-sampled previous generations
 and appends the new generation to the pool.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 

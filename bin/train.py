@@ -6,6 +6,11 @@ Examples:
     python bin/train.py -d moves.csv --kind policy --lr 1e-3
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax
