@@ -94,6 +94,10 @@ class GTPEngine:
         self._jit_run = jax.jit(
             lambda rng, t, p: mcts.run_search(rng, t, self.ev, p, cfg, ROLLOUT_CHUNK)
         )
+        self._jit_advance = jax.jit(mcts.advance_root)
+        self._jit_expand_roots = jax.jit(
+            lambda t, p: mcts.expand_roots(t, self.ev, p, cfg)
+        )
         self._w = mcts._mix_weight(cfg, self.ev.has_value)
 
         self.running = False
@@ -162,10 +166,21 @@ class GTPEngine:
         return out
 
     def _apply_move(self, action: int):
-        """Step the engine state and advance/rebuild the search tree."""
+        """Step the engine state; re-root the tree into the played child
+        (subtree reuse, mcts.py:110-131) or rebuild when the child isn't in
+        the tree / the pool is running low."""
         self.state = rules.step(self.state, jnp.int32(action))
         if bool(self.state.invalid):
             raise ValueError("illegal move")
+        if self.trees is not None and self.scfg.noise_weight == 0:
+            trees, ok = self._jit_advance(self.trees, jnp.full(
+                (self.forest,), action, jnp.int32))
+            room = int(np.asarray(trees.n_nodes).max()) + 82 <= (
+                self.scfg.max_nodes - 2
+            )
+            if bool(np.asarray(ok).all()) and room:
+                self.trees = self._jit_expand_roots(trees, self.params)
+                return
         self._rebuild()
 
     def input_move(self, mv: int):

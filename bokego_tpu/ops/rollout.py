@@ -264,3 +264,78 @@ def descend_backprop(
         leaf_unvalued=res[:, 4],
         depth=res[:, 1].astype(jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-place parent-row write (expansion's pstats update without the pool copy).
+
+
+def _write_rows_kernel(
+    node_ref,  # scalar prefetch (B,) int32 target rows
+    mask_ref,  # scalar prefetch (B,) int32 write flags
+    pstats_hbm,  # (B, N, 8, 128) f32 ANY (aliased)
+    rows_in,  # (TB, 8, 128) f32 VMEM block
+    pstats_out,  # aliased with pstats_hbm
+    sems,
+    *,
+    tb: int,
+    interpret: bool,
+):
+    prog = pl.program_id(0)
+    b0 = prog * tb
+    if interpret:
+        for t in range(tb):
+            pltpu.make_async_copy(
+                pstats_hbm.at[b0 + t], pstats_out.at[b0 + t], sems.at[t]
+            ).start()
+        for t in range(tb):
+            pltpu.make_async_copy(
+                pstats_hbm.at[b0 + t], pstats_out.at[b0 + t], sems.at[t]
+            ).wait()
+    for t in range(tb):
+        @pl.when(mask_ref[b0 + t] != 0)
+        def _():
+            pltpu.make_async_copy(
+                rows_in.at[t], pstats_out.at[b0 + t, node_ref[b0 + t]], sems.at[t]
+            ).start()
+    for t in range(tb):
+        @pl.when(mask_ref[b0 + t] != 0)
+        def _():
+            pltpu.make_async_copy(
+                rows_in.at[t], pstats_out.at[b0 + t, node_ref[b0 + t]], sems.at[t]
+            ).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+def write_rows(
+    pstats: jnp.ndarray,  # (B, N, 8, 128) f32
+    node: jnp.ndarray,  # (B,) int32
+    rows: jnp.ndarray,  # (B, 8, 128) f32
+    mask: jnp.ndarray,  # (B,) bool
+    *,
+    tb: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """pstats[b, node[b]] = rows[b] where mask — in place via aliasing."""
+    B = pstats.shape[0]
+    assert B % tb == 0, (B, tb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // tb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((tb, CH_PAD, LANE_PAD), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((tb,))],
+    )
+    kernel = functools.partial(_write_rows_kernel, tb=tb, interpret=interpret)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(pstats.shape, pstats.dtype)],
+        input_output_aliases={2: 0},  # pstats (first tensor input)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(node, mask.astype(jnp.int32), pstats, rows)
+    return out

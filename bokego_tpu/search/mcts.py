@@ -281,11 +281,33 @@ def init_trees(
         )
         probs = (1.0 - cfg.noise_weight) * probs + cfg.noise_weight * noise
     need = jnp.ones((batch,), bool)
-    trees = jax.vmap(
-        lambda t, p, nd: expand(t, t.root, p, nd, cfg.branch_num, cfg.max_turns)
-    )(trees, probs, need)
+    trees = _expand_batch(trees, trees.root, probs, need, cfg)
     trees = jax.vmap(lambda t, v: set_leaf_value(t, t.root, v))(trees, vals)
     return trees
+
+
+def _expand_batch(trees, nodes, probs, need, cfg: SearchConfig):
+    """Batched expansion; on the kernel path the parent-row write goes
+    through the in-place Pallas kernel (ops/rollout.write_rows) instead of
+    an XLA scatter that copies the whole pstats pool."""
+    if not cfg.use_kernel:
+        return jax.vmap(
+            lambda t, l, p, nd: expand(t, l, p, nd, cfg.branch_num, cfg.max_turns)
+        )(trees, nodes, probs, need)
+    import jax as _jax
+
+    from bokego_tpu.ops.rollout import write_rows
+    from bokego_tpu.search.tree import expand_core
+
+    trees, rows, did = jax.vmap(
+        lambda t, l, p, nd: expand_core(t, l, p, nd, cfg.branch_num, cfg.max_turns)
+    )(trees, nodes, probs, need)
+    interpret = _jax.default_backend() == "cpu"
+    pstats = write_rows(
+        trees.pstats, nodes, rows, did,
+        tb=cfg.kernel_block, interpret=interpret,
+    )
+    return trees.replace(pstats=pstats)
 
 
 def search_step(
@@ -331,9 +353,7 @@ def search_step(
     def eval_and_expand(trees):
         leaf_states = gather_states(trees.nodes, leaves)
         probs, vals = _evaluate(ev, params, leaf_states)
-        trees = jax.vmap(
-            lambda t, l, p, nd: expand(t, l, p, nd, cfg.branch_num, cfg.max_turns)
-        )(trees, leaves, probs, need)
+        trees = _expand_batch(trees, leaves, probs, need, cfg)
         return jax.vmap(set_leaf_value)(trees, leaves, vals)
 
     if cfg.no_sim:
@@ -401,12 +421,48 @@ def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
     def eval_and_expand(trees):
         leaf_states = gather_states(trees.nodes, leaves)
         probs, vals = _evaluate(ev, params, leaf_states)
-        trees = jax.vmap(
-            lambda t, l, p, nd: expand(t, l, p, nd, cfg.branch_num, cfg.max_turns)
-        )(trees, leaves, probs, need)
+        trees = _expand_batch(trees, leaves, probs, need, cfg)
         return jax.vmap(set_leaf_value)(trees, leaves, vals)
 
     return jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
+
+
+def advance_root(trees: Tree, actions: jnp.ndarray) -> tuple[Tree, jnp.ndarray]:
+    """Re-root each tree at its child for ``actions`` (the reference keeps
+    the subtree across moves: ``MCTS.choose``/``set_root``, mcts.py:110-131,
+    153-157).  Returns (trees, ok) — ok=False where no such child exists
+    (terminal root, unexpanded action, or pass) and the caller must rebuild.
+    Off-path nodes stay allocated (the reference prunes lazily via
+    ``clear_cache``; here the pool is monotonic and the host rebuilds when
+    it runs low)."""
+    row = _take_rows(trees.pstats, trees.root)  # (B, 8, 128)
+    a = jnp.clip(actions, 0, NN - 1)
+    child = jnp.take_along_axis(row[:, tr_mod.C_CHILD, :NN], a[:, None], axis=1)[:, 0]
+    ok = (child >= 0) & (actions >= 0) & (actions < NN)
+    new_root = jnp.where(ok, child.astype(jnp.int32), trees.root)
+    # the new root's own stats come from its edge entry at the old root
+    n = jnp.take_along_axis(row[:, tr_mod.C_N, :NN], a[:, None], axis=1)[:, 0]
+    wq = jnp.take_along_axis(row[:, tr_mod.C_WQ, :NN], a[:, None], axis=1)[:, 0]
+    wv = jnp.take_along_axis(row[:, tr_mod.C_WV, :NN], a[:, None], axis=1)[:, 0]
+    new_rs = jnp.stack([n, wq, wv], axis=-1)
+    trees = trees.replace(
+        root=new_root,
+        root_stats=jnp.where(ok[:, None], new_rs, trees.root_stats),
+    )
+    return trees, ok
+
+
+def expand_roots(
+    trees: Tree, ev: Evaluator, params, cfg: SearchConfig
+) -> Tree:
+    """Ensure every root is expanded+valued (``set_root`` -> ``_expand``,
+    mcts.py:153-157) — used after :func:`advance_root` lands on a child
+    that was still a leaf."""
+    root_states = gather_states(trees.nodes, trees.root)
+    probs, vals = _evaluate(ev, params, root_states)
+    need = ~_take_rows(trees.expanded, trees.root)
+    trees = _expand_batch(trees, trees.root, probs, need, cfg)
+    return jax.vmap(lambda t, v: set_leaf_value(t, t.root, v))(trees, vals)
 
 
 def _simulate(

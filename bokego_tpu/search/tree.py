@@ -144,15 +144,17 @@ def get_state(tree: Tree, idx: jnp.ndarray) -> GoState:
     return jax.tree.map(lambda x: x[idx], tree.nodes)
 
 
-def expand(
+def expand_core(
     tree: Tree,
     node: jnp.ndarray,
     probs: jnp.ndarray,
     need: jnp.ndarray,
     branch_num: int | None,
     max_turns: int,
-) -> Tree:
-    """Create child nodes for every legal point move of ``node``.
+) -> tuple[Tree, jnp.ndarray, jnp.ndarray]:
+    """Create child nodes for every legal point move of ``node``, except the
+    parent-row (pstats) write — returns ``(tree, new_row, did)`` so the
+    caller chooses how to land the row (XLA scatter or in-place kernel).
 
     Mirrors ``MCTS._expand`` + ``Go_MCTS.find_children`` (mcts.py:185-192,
     309-317): all legal point moves (PASS is never a tree edge), optionally
@@ -182,21 +184,41 @@ def expand(
     child_terminal = rules.is_terminal_batch(point_children, max_turns)
 
     did = need & room
-    row = tree.pstats[node]
     new_row = jnp.zeros((CH_PAD, LANE_PAD), jnp.float32)
     new_row = new_row.at[C_CHILD].set(NO_CHILD)
     new_row = new_row.at[C_PRIOR, :NN].set(probs)
     new_row = new_row.at[C_CHILD, :NN].set(
         jnp.where(write, slots.astype(jnp.float32), NO_CHILD)
     )
-    return tree.replace(
+    tree = tree.replace(
         nodes=nodes,
         parent=tree.parent.at[slots].set(node, mode="drop"),
         action=tree.action.at[slots].set(jnp.arange(NN), mode="drop"),
-        pstats=tree.pstats.at[node].set(jnp.where(did, new_row, row)),
         expanded=tree.expanded.at[node].set(tree.expanded[node] | did),
         terminal=tree.terminal.at[slots].set(child_terminal, mode="drop"),
         n_nodes=jnp.where(did, tree.n_nodes + count, tree.n_nodes),
+    )
+    return tree, new_row, did
+
+
+def expand(
+    tree: Tree,
+    node: jnp.ndarray,
+    probs: jnp.ndarray,
+    need: jnp.ndarray,
+    branch_num: int | None,
+    max_turns: int,
+) -> Tree:
+    """:func:`expand_core` plus the parent-row write via an XLA scatter.
+
+    NOTE (TPU): this scatter materializes a copy of the whole pstats pool;
+    the search's kernel path uses :func:`bokego_tpu.ops.rollout.write_rows`
+    to land the row in place instead.
+    """
+    tree, new_row, did = expand_core(tree, node, probs, need, branch_num, max_turns)
+    row = tree.pstats[node]
+    return tree.replace(
+        pstats=tree.pstats.at[node].set(jnp.where(did, new_row, row))
     )
 
 
