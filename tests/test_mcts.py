@@ -165,3 +165,30 @@ def test_simulation_mode_smoke():
     assert int(t0.visits[0]) == 5
     # sim rewards accumulated into wq
     assert np.asarray(trees.wq[:, 0]).any()
+
+
+def test_advance_root_subtree_reuse():
+    """Re-rooting keeps the child's accumulated stats (set_root reuse)."""
+    import jax.numpy as jnp
+
+    states = list(random_game_states(9, n_moves=6, pass_prob=0.0))
+    s, _ = states[-1]
+    cfg = SearchConfig(expand_thresh=5, no_sim=True, max_nodes=4096)
+    ev = fake_evaluator()
+    batch = jax.tree.map(lambda x: x[None], s)
+    rng = jax.random.PRNGKey(3)
+    trees = mcts.init_trees(rng, batch, ev, None, cfg)
+    trees = mcts.run_search(rng, trees, ev, None, cfg, 40)
+    a = int(jax.vmap(mcts.choose_action)(trees)[0])
+    t0 = jax.tree.map(lambda x: x[0], trees)
+    from bokego_tpu.search import tree as tr
+    row = np.asarray(t0.pstats[int(t0.root)])
+    child_n = row[tr.C_N, a]
+    child = int(row[tr.C_CHILD, a])
+    new_trees, ok = mcts.advance_root(trees, jnp.asarray([a], jnp.int32))
+    assert bool(ok[0])
+    assert int(new_trees.root[0]) == child
+    np.testing.assert_allclose(float(new_trees.root_stats[0, 0]), child_n)
+    # advancing to a non-existent edge reports not-ok
+    _, ok2 = mcts.advance_root(trees, jnp.asarray([81], jnp.int32))
+    assert not bool(ok2[0])
