@@ -350,7 +350,9 @@ def is_terminal(state: GoState, max_turns: int) -> jnp.ndarray:
     return (state.turn > max_turns) | (state.last_move == PASS_ACTION)
 
 
-def child_states(state: GoState) -> tuple[GoState, jnp.ndarray]:
+def child_states(
+    state: GoState, with_hash: bool = True
+) -> tuple[GoState, jnp.ndarray]:
     """All 82 successor positions of ``state`` in one pass.
 
     Returns ``(children, legal)`` where ``children`` is a GoState with a
@@ -359,6 +361,10 @@ def child_states(state: GoState) -> tuple[GoState, jnp.ndarray]:
     (mcts.py:309-317, 340-346): captures, ko, and incremental Zobrist hashes
     for every candidate move come from one :func:`move_tables` analysis.
     Rows at illegal points carry garbage (masked by ``legal``).
+
+    ``with_hash=False`` skips the per-child Zobrist XOR-reduce (search trees
+    never read node hashes; anything that needs hashes steps via
+    :func:`step`) and leaves the hash fields zeroed.
     """
     board, ko, turn = state.board, state.ko, state.turn
     color = state.to_play
@@ -403,23 +409,29 @@ def child_states(state: GoState) -> tuple[GoState, jnp.ndarray]:
     new_ko = jnp.where((n_caps == 1) & surrounded, cap_idx, NO_KO)
 
     # Hashes (go.py:164-177).
-    me, them = (turn % 2).astype(jnp.int32), ((turn + 1) % 2).astype(jnp.int32)
-    h = state.hash[None, :] ^ _ZTABLE[me]  # (81, 2): ^= table[me][a]
-    h = h ^ jnp.where(ko != NO_KO, _ZTABLE[2, jnp.maximum(ko, 0)], 0)[None, :]
-    ko_term = jnp.where(
-        (new_ko != NO_KO)[:, None], _ZTABLE[2, jnp.maximum(new_ko, 0)], 0
-    )
-    cap_xor = jax.lax.reduce(
-        jnp.where(cap[:, :, None], _ZTABLE[them][None, :, :], 0),
-        jnp.uint32(0),
-        jax.lax.bitwise_xor,
-        (1,),
-    )  # (81, 2)
-    h = h ^ ko_term ^ cap_xor ^ _ZFLIP[None, :]
+    if with_hash:
+        me, them = (turn % 2).astype(jnp.int32), ((turn + 1) % 2).astype(jnp.int32)
+        h = state.hash[None, :] ^ _ZTABLE[me]  # (81, 2): ^= table[me][a]
+        h = h ^ jnp.where(ko != NO_KO, _ZTABLE[2, jnp.maximum(ko, 0)], 0)[None, :]
+        ko_term = jnp.where(
+            (new_ko != NO_KO)[:, None], _ZTABLE[2, jnp.maximum(new_ko, 0)], 0
+        )
+        cap_xor = jax.lax.reduce(
+            jnp.where(cap[:, :, None], _ZTABLE[them][None, :, :], 0),
+            jnp.uint32(0),
+            jax.lax.bitwise_xor,
+            (1,),
+        )  # (81, 2)
+        h = h ^ ko_term ^ cap_xor ^ _ZFLIP[None, :]
 
-    # Pass successor (go.py:109-121).
-    h_pass = state.hash ^ jnp.where(ko != NO_KO, _ZTABLE[2, jnp.maximum(ko, 0)], 0)
-    h_pass = h_pass ^ _ZFLIP
+        # Pass successor (go.py:109-121).
+        h_pass = state.hash ^ jnp.where(
+            ko != NO_KO, _ZTABLE[2, jnp.maximum(ko, 0)], 0
+        )
+        h_pass = h_pass ^ _ZFLIP
+    else:
+        h = jnp.zeros((NN, 2), jnp.uint32)
+        h_pass = jnp.zeros((2,), jnp.uint32)
 
     children = GoState(
         board=jnp.concatenate([new_boards, board[None, :]], axis=0),

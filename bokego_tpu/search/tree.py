@@ -164,7 +164,8 @@ def expand_core(
     value NaN) — slots are never reused within a tree's lifetime.
     """
     state = get_state(tree, node)
-    csts, legal = rules.child_states(state)
+    # node hashes are never read by the search; skip the Zobrist reduce
+    csts, legal = rules.child_states(state, with_hash=False)
     mask = legal[:NN]
     if branch_num is not None and 0 <= branch_num < NN:
         order = jnp.argsort(-probs)  # descending; stable => low index on ties
