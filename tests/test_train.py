@@ -127,3 +127,25 @@ def test_checkpoint_roundtrip_and_pool(tmp_path):
     assert n == 1
     nid, _ = checkpoints.sample_opponent(pool, np.random.default_rng(0))
     assert nid in (0, 1)
+
+
+def test_gendata_policy_rows(tmp_path):
+    from bokego_tpu.train import gendata
+
+    variables = init_policy(jax.random.PRNGKey(0))
+    traj = gendata.generate(jax.random.PRNGKey(1), variables, batch=3, max_turns=10)
+    rows = gendata.trajectory_to_rows(traj)
+    assert rows
+    # every row's recorded move must be legal in the recorded position
+    from tests.oracle import OracleGame
+
+    for board, ko, last, move in rows[:20]:
+        enc = {".": 0, "X": 1, "O": 2}
+        g = OracleGame(board=[enc[c] for c in board], ko=ko,
+                       turn=(1 if last >= 0 and board[last] == "X" else 0))
+        assert g.is_legal(move), (board, move)
+    p = os.path.join(tmp_path, "pol.csv")
+    gendata.write_csv(p, rows)
+    ds = data.load_csv(p)
+    assert not ds.is_value
+    assert len(ds) == 8 * len(rows)
