@@ -20,9 +20,7 @@ from __future__ import annotations
 import os
 import sys
 import time
-from functools import partial
 from threading import Thread
-from typing import Callable
 
 import numpy as np
 

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bokego_tpu.coords import NN
 from bokego_tpu.search.tree import (
     C_CHILD,
     C_N,

@@ -34,7 +34,7 @@ from bokego_tpu.features import features_batch
 from bokego_tpu.models import inference
 from bokego_tpu.search import playout as po
 from bokego_tpu.search import tree as tr_mod
-from bokego_tpu.search.tree import Tree, empty_tree, expand, get_state, set_leaf_value
+from bokego_tpu.search.tree import Tree, empty_tree, expand, set_leaf_value
 
 
 class Evaluator(NamedTuple):

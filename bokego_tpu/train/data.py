@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bokego_tpu.coords import N, NN
+from bokego_tpu.coords import N
 from bokego_tpu.env import state as st
 from bokego_tpu.features import features_batch
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from bokego_tpu.coords import NN
 from bokego_tpu.env import state as st

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bokego_tpu.coords import NN, PASS_ACTION
+from bokego_tpu.coords import NN
 from bokego_tpu.env import rules, state as st
 from bokego_tpu.features import features_batch
 from bokego_tpu.models import inference

@@ -48,3 +48,23 @@ def test_replay_and_score():
     assert isinstance(nb.score(), float)
     with pytest.raises(ValueError):
         native.replay([40, 40])
+
+
+def test_golden_replay_native():
+    """The 10 boke-vs-gnugo golden games replay legally through the C++
+    engine with the same final positions as the Python oracle."""
+    import glob
+
+    from bokego_tpu import sgf
+
+    golden = sorted(glob.glob("/root/reference/data/bokevgnugo/*.sgf"))
+    if not golden:
+        pytest.skip("golden SGFs not present")
+    for path in golden:
+        moves = sgf.read_moves(path)
+        nb = native.replay(moves)
+        g = OracleGame()
+        for mv in moves:
+            g.play(mv)
+        np.testing.assert_array_equal(nb.board, np.array(g.board, np.int8))
+        assert nb.score() == g.score()
