@@ -449,6 +449,84 @@ def child_states(
 child_states_batch = jax.vmap(child_states)
 
 
+class LeafAnalysis(NamedTuple):
+    """Everything the search's eval/expansion phase needs from one position,
+    from a single group analysis: the feature tables AND all successors.
+
+    ``move_tables`` and ``child_states`` each run their own
+    :func:`group_info` + (81, 81) mask construction; fusing them halves the
+    env cost of an eval step (features and expansion always happen
+    together, mcts.py:139-151)."""
+
+    mt: MoveTables
+    children: GoState  # (82, ...) successors (hashes zeroed)
+    legal: jnp.ndarray  # bool[82]
+
+
+def leaf_analysis(state: GoState) -> LeafAnalysis:
+    """Fused :func:`move_tables` + :func:`child_states` (hashless)."""
+    board, ko, turn = state.board, state.ko, state.turn
+    color = state.to_play
+    opp = jnp.where(color == BLACK, WHITE, BLACK).astype(board.dtype)
+    empty = board == EMPTY
+
+    info = group_info(board)
+    board_p = _pad(board, _OFF)
+    lab_p = _pad(info.labels, _NO_GROUP)
+    libs_p = _pad(info.libs, 0)
+    nbr_color = board_p[_NBRS]  # (81, 4)
+    nbr_lab = lab_p[_NBRS]
+    nbr_libs = libs_p[_NBRS]
+    off = nbr_color == _OFF
+
+    own_adj_lab = jnp.where(nbr_color == color, nbr_lab, _NO_GROUP)
+    dying_adj_lab = jnp.where(
+        (nbr_color == opp) & (nbr_libs == 1), nbr_lab, _NO_GROUP
+    )
+    labels_q = info.labels[None, :, None]
+    grp = jnp.any(labels_q == own_adj_lab[:, None, :], axis=-1) & (board == color)[
+        None, :
+    ]
+    grp = grp | jnp.eye(NN, dtype=bool)
+    cap = jnp.any(labels_q == dying_adj_lab[:, None, :], axis=-1) & (board == opp)[
+        None, :
+    ]
+    caps = cap.sum(axis=1, dtype=jnp.int32)
+    empty_after = (empty[None, :] | cap) & ~jnp.eye(NN, dtype=bool)
+    libs_after = (empty_after & _dilate_rows(grp)).sum(axis=1, dtype=jnp.int32)
+    legal_pt = empty & (libs_after > 0) & (jnp.arange(NN) != ko)
+
+    mt = MoveTables(
+        legal=legal_pt,
+        libs_after=jnp.where(legal_pt, libs_after, 0),
+        caps=jnp.where(legal_pt, caps, 0),
+        info=info,
+    )
+
+    placed = jnp.where(jnp.eye(NN, dtype=bool), color, board[None, :]).astype(
+        board.dtype
+    )
+    new_boards = jnp.where(cap, EMPTY, placed)
+    surrounded = jnp.all(off | (nbr_color == opp), axis=1)
+    cap_idx = jnp.argmax(cap, axis=1).astype(jnp.int32)
+    new_ko = jnp.where((caps == 1) & surrounded, cap_idx, NO_KO)
+
+    children = GoState(
+        board=jnp.concatenate([new_boards, board[None, :]], axis=0),
+        ko=jnp.concatenate([new_ko, jnp.asarray([NO_KO], jnp.int32)]),
+        turn=jnp.broadcast_to(turn + 1, (NN + 1,)),
+        last_move=jnp.arange(NN + 1, dtype=jnp.int32),
+        hash=jnp.zeros((NN + 1, 2), jnp.uint32),
+        komi=jnp.broadcast_to(state.komi, (NN + 1,)),
+        invalid=jnp.broadcast_to(state.invalid, (NN + 1,)),
+    )
+    legal = jnp.concatenate([legal_pt, jnp.ones((1,), dtype=bool)])
+    return LeafAnalysis(mt=mt, children=children, legal=legal)
+
+
+leaf_analysis_batch = jax.vmap(leaf_analysis)
+
+
 # ---------------------------------------------------------------------------
 # Batched wrappers (leading batch axis).
 

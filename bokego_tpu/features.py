@@ -47,9 +47,16 @@ def _bucketize(arr: jnp.ndarray) -> jnp.ndarray:
 
 def features(state: GoState) -> jnp.ndarray:
     """GoState -> float32 (9, 9, 27) NHWC feature planes."""
+    mt = move_tables(state.board, state.ko, state.to_play)
+    return features_from_tables(state, mt)
+
+
+def features_from_tables(state: GoState, mt) -> jnp.ndarray:
+    """Feature planes from a precomputed move analysis (lets the search's
+    eval phase share one group analysis between features and successor
+    generation — rules.leaf_analysis)."""
     board = state.board
     color = state.to_play
-    mt = move_tables(board, state.ko, color)
 
     player = (board == color).astype(jnp.float32)
     oppt = ((board != EMPTY) & (board != color)).astype(jnp.float32)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from bokego_tpu.coords import NN, PASS_ACTION
 from bokego_tpu.config import SearchConfig
+from bokego_tpu.env import rules as rules_mod
 from bokego_tpu.env import rules
 from bokego_tpu.env.state import GoState
 from bokego_tpu.features import features_batch
@@ -50,6 +51,9 @@ class Evaluator(NamedTuple):
     evaluate: "callable"
     policy_probs: "callable"
     has_value: bool
+    evaluate_fts: "callable | None" = None  # (params, fts) -> (probs, vals);
+    # when present, the search fuses feature computation with successor
+    # generation (rules.leaf_analysis) on eval steps
 
 
 def net_evaluator(has_value: bool = True) -> "Evaluator":
@@ -59,13 +63,20 @@ def net_evaluator(has_value: bool = True) -> "Evaluator":
     def policy_probs(params, states):
         return inference.policy_probs(params["policy"], features_batch(states))
 
-    def evaluate(params, states):
-        fts = features_batch(states)
+    def evaluate_fts(params, fts):
         probs = inference.policy_probs(params["policy"], fts)
         vals = inference.value_fn(params["value"], fts) if has_value else None
         return probs, vals
 
-    return Evaluator(evaluate=evaluate, policy_probs=policy_probs, has_value=has_value)
+    def evaluate(params, states):
+        return evaluate_fts(params, features_batch(states))
+
+    return Evaluator(
+        evaluate=evaluate,
+        policy_probs=policy_probs,
+        has_value=has_value,
+        evaluate_fts=evaluate_fts,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -286,22 +297,33 @@ def init_trees(
     return trees
 
 
-def _expand_batch(trees, nodes, probs, need, cfg: SearchConfig):
+def _expand_batch(trees, nodes, probs, need, cfg: SearchConfig, precomputed=None):
     """Batched expansion; on the kernel path the parent-row write goes
     through the in-place Pallas kernel (ops/rollout.write_rows) instead of
     an XLA scatter that copies the whole pstats pool."""
-    if not cfg.use_kernel:
-        return jax.vmap(
-            lambda t, l, p, nd: expand(t, l, p, nd, cfg.branch_num, cfg.max_turns)
-        )(trees, nodes, probs, need)
     import jax as _jax
 
-    from bokego_tpu.ops.rollout import write_rows
     from bokego_tpu.search.tree import expand_core
 
+    if not cfg.use_kernel:
+        def one(t, l, p, nd, pre):
+            t, row, did = expand_core(
+                t, l, p, nd, cfg.branch_num, cfg.max_turns, pre
+            )
+            old = t.pstats[l]
+            return t.replace(
+                pstats=t.pstats.at[l].set(jnp.where(did, row, old))
+            )
+
+        return jax.vmap(one)(trees, nodes, probs, need, precomputed)
+
+    from bokego_tpu.ops.rollout import write_rows
+
     trees, rows, did = jax.vmap(
-        lambda t, l, p, nd: expand_core(t, l, p, nd, cfg.branch_num, cfg.max_turns)
-    )(trees, nodes, probs, need)
+        lambda t, l, p, nd, pre: expand_core(
+            t, l, p, nd, cfg.branch_num, cfg.max_turns, pre
+        )
+    )(trees, nodes, probs, need, precomputed)
     interpret = _jax.default_backend() == "cpu"
     pstats = write_rows(
         trees.pstats, nodes, rows, did,
@@ -352,8 +374,22 @@ def search_step(
 
     def eval_and_expand(trees):
         leaf_states = gather_states(trees.nodes, leaves)
-        probs, vals = _evaluate(ev, params, leaf_states)
-        trees = _expand_batch(trees, leaves, probs, need, cfg)
+        if ev.evaluate_fts is not None:
+            # fused path: one group analysis serves both the feature planes
+            # and all successor states
+            from bokego_tpu.features import features_from_tables
+
+            fa = jax.vmap(rules_mod.leaf_analysis)(leaf_states)
+            fts = jax.vmap(features_from_tables)(leaf_states, fa.mt)
+            probs, vals = ev.evaluate_fts(params, fts)
+            if vals is None:
+                vals = jnp.zeros(probs.shape[0], jnp.float32)
+            trees = _expand_batch(
+                trees, leaves, probs, need, cfg, precomputed=(fa.children, fa.legal)
+            )
+        else:
+            probs, vals = _evaluate(ev, params, leaf_states)
+            trees = _expand_batch(trees, leaves, probs, need, cfg)
         return jax.vmap(set_leaf_value)(trees, leaves, vals)
 
     if cfg.no_sim:
@@ -420,8 +456,22 @@ def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
 
     def eval_and_expand(trees):
         leaf_states = gather_states(trees.nodes, leaves)
-        probs, vals = _evaluate(ev, params, leaf_states)
-        trees = _expand_batch(trees, leaves, probs, need, cfg)
+        if ev.evaluate_fts is not None:
+            # fused path: one group analysis serves both the feature planes
+            # and all successor states
+            from bokego_tpu.features import features_from_tables
+
+            fa = jax.vmap(rules_mod.leaf_analysis)(leaf_states)
+            fts = jax.vmap(features_from_tables)(leaf_states, fa.mt)
+            probs, vals = ev.evaluate_fts(params, fts)
+            if vals is None:
+                vals = jnp.zeros(probs.shape[0], jnp.float32)
+            trees = _expand_batch(
+                trees, leaves, probs, need, cfg, precomputed=(fa.children, fa.legal)
+            )
+        else:
+            probs, vals = _evaluate(ev, params, leaf_states)
+            trees = _expand_batch(trees, leaves, probs, need, cfg)
         return jax.vmap(set_leaf_value)(trees, leaves, vals)
 
     return jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)

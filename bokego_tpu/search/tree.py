@@ -151,6 +151,7 @@ def expand_core(
     need: jnp.ndarray,
     branch_num: int | None,
     max_turns: int,
+    precomputed: tuple | None = None,
 ) -> tuple[Tree, jnp.ndarray, jnp.ndarray]:
     """Create child nodes for every legal point move of ``node``, except the
     parent-row (pstats) write — returns ``(tree, new_row, did)`` so the
@@ -163,9 +164,12 @@ def expand_core(
     allocation is compacted; fresh slots rely on pool defaults (stats 0,
     value NaN) — slots are never reused within a tree's lifetime.
     """
-    state = get_state(tree, node)
-    # node hashes are never read by the search; skip the Zobrist reduce
-    csts, legal = rules.child_states(state, with_hash=False)
+    if precomputed is None:
+        state = get_state(tree, node)
+        # node hashes are never read by the search; skip the Zobrist reduce
+        csts, legal = rules.child_states(state, with_hash=False)
+    else:
+        csts, legal = precomputed
     mask = legal[:NN]
     if branch_num is not None and 0 <= branch_num < NN:
         order = jnp.argsort(-probs)  # descending; stable => low index on ties

@@ -192,3 +192,28 @@ def test_advance_root_subtree_reuse():
     # advancing to a non-existent edge reports not-ok
     _, ok2 = mcts.advance_root(trees, jnp.asarray([81], jnp.int32))
     assert not bool(ok2[0])
+
+
+def test_fused_eval_path_matches_unfused():
+    """net_evaluator's fused leaf_analysis path == the states-level path."""
+    from bokego_tpu.models import init_policy, init_value
+
+    params = {"policy": init_policy(jax.random.PRNGKey(0)),
+              "value": init_value(jax.random.PRNGKey(1))}
+    ev_fused = mcts.net_evaluator(True)
+    assert ev_fused.evaluate_fts is not None
+    ev_plain = mcts.Evaluator(
+        evaluate=ev_fused.evaluate,
+        policy_probs=ev_fused.policy_probs,
+        has_value=True,
+    )
+    s = st.new_game_batch(2)
+    cfg = SearchConfig(expand_thresh=3, no_sim=True, max_nodes=512)
+    rng = jax.random.PRNGKey(5)
+    t1 = mcts.run_search(rng, mcts.init_trees(rng, s, ev_fused, params, cfg),
+                         ev_fused, params, cfg, 12)
+    t2 = mcts.run_search(rng, mcts.init_trees(rng, s, ev_plain, params, cfg),
+                         ev_plain, params, cfg, 12)
+    np.testing.assert_allclose(np.asarray(t1.pstats), np.asarray(t2.pstats),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(t1.n_nodes), np.asarray(t2.n_nodes))
