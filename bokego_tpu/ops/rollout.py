@@ -33,6 +33,7 @@ from bokego_tpu.search.tree import (
     C_CHILD,
     C_N,
     C_PRIOR,
+    C_TERM,
     C_WQ,
     C_WV,
     CH_PAD,
@@ -46,6 +47,9 @@ class KernelDescent(NamedTuple):
     leaf_val: jnp.ndarray  # (B,) f32 — cached leaf value, NaN -> 0
     leaf_unvalued: jnp.ndarray  # (B,) f32 — 1.0 where value was NaN
     depth: jnp.ndarray  # (B,) int32
+    leaf_terminal: jnp.ndarray  # (B,) f32 — 1.0 where the leaf is terminal
+    # (from the parent row's C_TERM plane; 0 for depth-0 roots — the caller
+    # supplies root terminality)
 
 
 def _kernel(
@@ -87,6 +91,7 @@ def _kernel(
     active = jnp.ones((tb,), jnp.bool_)
     depth = jnp.zeros((tb,), jnp.int32)
     leaf_n = jnp.zeros((tb,), jnp.float32)
+    leaf_term = jnp.zeros((tb,), jnp.float32)
     iota_lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANE_PAD), 1)
 
     # Prefetch the block's value rows (contiguous trees -> one DMA).
@@ -127,12 +132,14 @@ def _kernel(
             jnp.int32
         )
         picked_n = jnp.sum(jnp.where(onehot, nf, 0.0), axis=1)
+        picked_t = jnp.sum(jnp.where(onehot, row[:, C_TERM, :], 0.0), axis=1)
 
         internal = jnp.any(valid, axis=1) & active
         node_hist.append(cur_vec)
         act_hist.append(jnp.where(internal, best_a, 0))
         cur_vec = jnp.where(internal, picked_child, cur_vec)
         leaf_n = jnp.where(internal, picked_n, leaf_n)
+        leaf_term = jnp.where(internal, picked_t, leaf_term)
         depth = jnp.where(internal, depth + 1, depth)
         active = internal
 
@@ -192,6 +199,7 @@ def _kernel(
     res = jnp.where(iota_lane == 2, leaf_n[:, None], res)
     res = jnp.where(iota_lane == 3, v[:, None], res)
     res = jnp.where(iota_lane == 4, unval.astype(jnp.float32)[:, None], res)
+    res = jnp.where(iota_lane == 5, leaf_term[:, None], res)
     stage[...] = res
     pltpu.make_async_copy(stage, res_out.at[pl.ds(b0, tb), :], sems.at[0]).start()
     pltpu.make_async_copy(stage, res_out.at[pl.ds(b0, tb), :], sems.at[0]).wait()
@@ -262,6 +270,7 @@ def descend_backprop(
         leaf_val=res[:, 3],
         leaf_unvalued=res[:, 4],
         depth=res[:, 1].astype(jnp.int32),
+        leaf_terminal=res[:, 5],
     )
 
 

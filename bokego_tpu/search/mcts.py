@@ -445,11 +445,16 @@ def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
 
     leaves = kd.leaf
     leaf_visits = jnp.where(kd.depth > 0, kd.leaf_n, old_root_n)
-    need = (
-        (leaf_visits > cfg.expand_thresh)
-        & ~_take_rows(trees.terminal, leaves)
-        & ~_take_rows(trees.expanded, leaves)
-    )
+    # A childless node is never 'expanded' (expand only flips the flag when
+    # it creates children), so eligibility is just visits + non-terminal;
+    # terminality comes from the parent row's C_TERM plane the kernel
+    # already read. Depth-0 roots: an expanded root is internal (kernel
+    # descends), so a depth-0 leaf root is unexpanded; it is non-terminal
+    # whenever it has legal moves — root terminality is checked by the
+    # driver (selfplay masks done games; the engine rebuilds on terminal
+    # positions), so treat depth-0 as eligible.
+    leaf_terminal = jnp.where(kd.depth > 0, kd.leaf_terminal > 0, False)
+    need = (leaf_visits > cfg.expand_thresh) & ~leaf_terminal
     any_work = jnp.any(need) | jnp.any(kd.leaf_unvalued > 0)
     if cfg.eval_every > 1:
         any_work = any_work & (jnp.asarray(step_idx) % cfg.eval_every == 0)

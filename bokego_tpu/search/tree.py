@@ -45,7 +45,9 @@ from bokego_tpu.env.state import GoState
 # be tile-aligned). Lanes >= 81 and planes >= 5 are padding; the child plane
 # pads with -1 so "no child" masking covers them automatically.
 C_N, C_WQ, C_WV, C_PRIOR, C_CHILD = 0, 1, 2, 3, 4
-NUM_CH = 5
+C_TERM = 5  # child-terminal flags (lets the rollout kernel compute the
+# expansion-eligibility of the leaf it reaches without extra flag gathers)
+NUM_CH = 6
 CH_PAD = 8
 LANE_PAD = 128
 NO_CHILD = -1.0
@@ -195,6 +197,7 @@ def expand_core(
     new_row = new_row.at[C_CHILD, :NN].set(
         jnp.where(write, slots.astype(jnp.float32), NO_CHILD)
     )
+    new_row = new_row.at[C_TERM, :NN].set(child_terminal.astype(jnp.float32))
     tree = tree.replace(
         nodes=nodes,
         parent=tree.parent.at[slots].set(node, mode="drop"),
