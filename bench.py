@@ -41,6 +41,7 @@ def main():
         # TPU perf mode: Pallas fused descend/backprop + amortized eval
         use_kernel=on_tpu,
         kernel_block=64,
+        kernel_levels=6,
         eval_every=8 if on_tpu else 1,
     )
     ev = mcts.net_evaluator(has_value=True)

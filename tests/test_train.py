@@ -149,3 +149,22 @@ def test_gendata_policy_rows(tmp_path):
     ds = data.load_csv(p)
     assert not ds.is_value
     assert len(ds) == 8 * len(rows)
+
+
+def test_alphazero_loop_smoke():
+    """Closed AZ loop: search self-play targets -> one update each net."""
+    from bokego_tpu.config import SearchConfig
+    from bokego_tpu.train import alphazero as az
+
+    pv = init_policy(jax.random.PRNGKey(0))
+    vv = init_value(jax.random.PRNGKey(1))
+    cfg = SearchConfig(expand_thresh=2, no_sim=True, max_nodes=256,
+                       noise_weight=0.25, max_turns=6)
+    state = az.train(
+        jax.random.PRNGKey(2), pv, vv,
+        iters=1, batch=2, n_moves=4, n_rollouts=4, cfg=cfg,
+        temperature=1.0, log_fn=lambda s: None,
+    )
+    a = jax.tree.leaves(pv["params"])[0]
+    b = jax.tree.leaves(state.policy["params"])[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
