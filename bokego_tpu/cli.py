@@ -77,13 +77,10 @@ def main(argv=None):
 
     on_accel = jax.default_backend() != "cpu"
     if args.fast and on_accel:
-        forest = max(1, args.forest)
-        tb = next(k for k in (8, 4, 2, 1) if forest % k == 0)
         scfg = SearchConfig(
             no_sim=not args.simulate,
             use_kernel=not args.simulate,
             eval_every=8,
-            kernel_block=tb,  # must divide the forest batch
             max_nodes=512,
         )
     else:

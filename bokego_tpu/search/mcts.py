@@ -297,6 +297,11 @@ def init_trees(
     return trees
 
 
+def _fit_block(batch: int, want: int) -> int:
+    """Largest kernel block <= ``want`` that divides the (static) batch."""
+    return next(k for k in range(min(want, batch), 0, -1) if batch % k == 0)
+
+
 def _expand_batch(trees, nodes, probs, need, cfg: SearchConfig, precomputed=None):
     """Batched expansion; on the kernel path the parent-row write goes
     through the in-place Pallas kernel (ops/rollout.write_rows) instead of
@@ -327,7 +332,8 @@ def _expand_batch(trees, nodes, probs, need, cfg: SearchConfig, precomputed=None
     interpret = _jax.default_backend() == "cpu"
     pstats = write_rows(
         trees.pstats, nodes, rows, did,
-        tb=cfg.kernel_block, interpret=interpret,
+        tb=_fit_block(trees.root.shape[0], cfg.kernel_block),
+        interpret=interpret,
     )
     return trees.replace(pstats=pstats)
 
@@ -420,6 +426,8 @@ def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
     from bokego_tpu.ops.rollout import descend_backprop
 
     interpret = _jax.default_backend() == "cpu"
+    batch = trees.root.shape[0]
+    tb = _fit_block(batch, cfg.kernel_block)
     pstats, kd = descend_backprop(
         trees.pstats,
         trees.value,
@@ -428,7 +436,7 @@ def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
         w=w,
         use_value=has_value,
         levels=cfg.kernel_levels,
-        tb=cfg.kernel_block,
+        tb=tb,
         interpret=interpret,
     )
     root_sign = jnp.where(kd.depth % 2 == 0, 1.0, -1.0)
