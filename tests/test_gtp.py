@@ -188,3 +188,26 @@ def test_zero_rollout_genmove_policy_fallback():
     eng.running = True
     mv = ok(eng, "genmove black")
     assert mv and mv != "resign"
+
+
+def test_surrender_rule():
+    """Resign when winrate < 0.1 after turn 50 (gtp.py:339-342)."""
+    import jax.numpy as jnp
+
+    eng = GTPEngine(
+        fake_evaluator(), None,
+        SearchConfig(expand_thresh=2, no_sim=True, max_nodes=256),
+        EngineConfig(time_lim=None, n_rollouts=8, pondering=False),
+    )
+    eng.running = True
+    ok(eng, "clear_board")
+    eng.state = eng.state.replace(turn=jnp.int32(52))
+    eng._rebuild()
+    # force a hopeless root: large negative accumulated value
+    eng.trees = eng.trees.replace(
+        root_stats=eng.trees.root_stats.at[:, 0].set(100.0)
+        .at[:, 2].set(-95.0)
+    )
+    assert eng.winrate() < 0.1
+    out = eng.send("genmove black")
+    assert "resign" in out

@@ -252,3 +252,17 @@ def test_terminal():
     s2 = st.new_game().replace(turn=jnp.int32(81))
     assert bool(rules.is_terminal(s2, 80))
     assert not bool(rules.is_terminal(s2, 90))
+
+
+def test_play_moves_scan_replay():
+    """play_moves scans a fixed action sequence to the same state as
+    step-by-step replay."""
+    import numpy as np
+
+    states = list(random_game_states(13, n_moves=20, pass_prob=0.0))
+    s_final, _ = states[-1]
+    # reconstruct action sequence from successive last_moves
+    actions = [int(s.last_move) for s, _ in states[1:]]
+    out = rules.play_moves(st.new_game(), jnp.asarray(actions, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out.board), np.asarray(s_final.board))
+    assert int(out.turn) == int(s_final.turn)
