@@ -11,6 +11,7 @@ default.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,7 +43,21 @@ class SearchConfig:
     # batches (where SOME tree always needs work): expansion and
     # first-visit valuation are delayed up to E-1 rollouts, during which
     # an unvalued leaf backs up a neutral 0 value — a small, documented
-    # throughput/fidelity trade (typically negligible at E<=8).
+    # throughput/fidelity trade (measured: see PERF.md "fast-mode fidelity").
+
+    def __post_init__(self):
+        if self.use_kernel and self.eval_every == 1:
+            # The kernel backprops BEFORE valuation, so even at E=1 a fresh
+            # leaf's first visit backs up a neutral value — NOT the exact
+            # reference cadence the eval_every=1 XLA path gives.  Loud, not
+            # silent (round-1 review finding).
+            warnings.warn(
+                "SearchConfig(use_kernel=True, eval_every=1): the Pallas "
+                "rollout kernel delays first-visit valuation by one rollout "
+                "even at eval_every=1; for exact reference semantics use "
+                "use_kernel=False, for throughput use eval_every>=2.",
+                stacklevel=2,
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -140,13 +140,18 @@ class GTPEngine:
         jax.block_until_ready(self.trees.visits)
 
     def winrate(self) -> float | None:
+        """Root winrate aggregated over the whole forest (``MCTS.winrate``,
+        gtp.py:159-170 math): the per-tree root (N, W_sim, W_val) triples sum
+        across root-parallel trees, so surrender decisions use the same
+        pooled statistics as :meth:`_root_child_visits`-based choosing."""
         if self.trees is None:
             return None
-        t0 = jax.tree.map(lambda x: x[0], self.trees)
-        n = int(t0.visits[int(t0.root)])
-        if n == 0:
+        rs = np.asarray(self.trees.root_stats, np.float64)  # (forest, 3)
+        n, q, v = rs.sum(axis=0)
+        if n <= 0:
             return 0.0
-        return float(mcts.root_winrate(t0, self._w))
+        mixed = ((1.0 - self._w) * q + self._w * v) / n
+        return float((mixed + 1.0) / 2.0)
 
     def _root_child_visits(self) -> dict[int, int]:
         """action -> summed visits across the forest (root-parallel
@@ -344,14 +349,18 @@ class GTPEngine:
         generator for ``analyze``)."""
         if not self.running or not cmd:
             return None
-        parts = cmd.lower().split()
+        # Only the verb is case-normalized; arguments pass through raw so
+        # case-sensitive paths (loadsgf/printsgf) survive.  The reference
+        # lowercases the whole line (gtp.py:117) — divergence documented;
+        # handlers that take color/keyword args normalize those themselves.
+        parts = cmd.split()
         cmd_id = ""
         if parts and parts[0].isdigit():
             cmd_id = parts[0]
             parts = parts[1:]
         if not parts:
             return f"? \n\n"
-        name, args = parts[0], parts[1:]
+        name, args = parts[0].lower(), parts[1:]
         if name not in COMMANDS:
             return f"?{cmd_id} unknown command '{name}'\n\n"
         handler = getattr(self, f"_cmd_{name}", None)
@@ -374,7 +383,7 @@ class GTPEngine:
     def _cmd_known_command(self, args):
         if len(args) != 1:
             return False, ""
-        return True, "true" if args[0] in COMMANDS else "false"
+        return True, "true" if args[0].lower() in COMMANDS else "false"
 
     def _cmd_help(self, args):
         return True, "\n".join(COMMANDS)
@@ -405,16 +414,17 @@ class GTPEngine:
         return True, ""
 
     def _cmd_play(self, args):
-        if len(args) < 2 or args[0] not in COLORS:
+        color = args[0].lower() if args else ""
+        if len(args) < 2 or color not in COLORS:
             return False, "usage: play <color> <vertex>"
-        if args[1] == "resign":
+        if args[1].lower() == "resign":
             self.running = False
             return True, ""
         try:
             mv = squash(args[1])
         except ValueError:
             return False, "invalid coordinate"
-        turn = 0 if "b" in args[0] else 1
+        turn = 0 if "b" in color else 1
         try:
             if turn != int(self.state.turn) % 2:
                 # out-of-turn play: insert a PASS first (gtp.py:174-186)
@@ -430,9 +440,10 @@ class GTPEngine:
         return True, ""
 
     def _cmd_genmove(self, args, resign=None):
-        if len(args) != 1 or args[0] not in COLORS:
+        color = args[0].lower() if args else ""
+        if len(args) != 1 or color not in COLORS:
             return False, "usage: genmove <color>"
-        turn = 0 if "b" in args[0] else 1
+        turn = 0 if "b" in color else 1
         if turn != int(self.state.turn) % 2:
             self.input_move(PASS)
             self._undid = True
@@ -520,17 +531,19 @@ class GTPEngine:
         return True, ""
 
     def _cmd_analyze(self, args):
-        if len(args) != 2 or args[0] not in COLORS or not args[1].isnumeric():
+        color = args[0].lower() if args else ""
+        if len(args) != 2 or color not in COLORS or not args[1].isnumeric():
             return False, "usage: analyze <color> <interval>"
-        turn = 0 if "b" in args[0] else 1
+        turn = 0 if "b" in color else 1
         if turn != int(self.state.turn) % 2:
-            return False, f"it is not {args[0]}'s turn"
+            return False, f"it is not {color}'s turn"
         return self.analyze(int(args[1]))
 
     def _cmd_pondering(self, args):
-        if len(args) != 1 or args[0] not in ("on", "off"):
+        arg = args[0].lower() if args else ""
+        if len(args) != 1 or arg not in ("on", "off"):
             return False, "usage: pondering <on/off>"
-        self.pondering = args[0] == "on"
+        self.pondering = arg == "on"
         return True, ""
 
     def _cmd_quit(self, args):

@@ -175,6 +175,59 @@ def test_forest_mode():
     assert eng.forest == 3
 
 
+def test_forest_winrate_aggregates_all_trees():
+    """winrate()/surrender must pool root stats across the forest — not
+    read tree 0 only — so resignation is driven by the same aggregate the
+    visit-sum choose uses (round-1 review weak #7)."""
+    import jax.numpy as jnp
+
+    eng = GTPEngine(
+        fake_evaluator(), None,
+        SearchConfig(expand_thresh=2, no_sim=True, max_nodes=256),
+        EngineConfig(time_lim=None, n_rollouts=8, pondering=False,
+                     forest_size=3),
+    )
+    eng.running = True
+    ok(eng, "clear_board")
+    eng.state = eng.state.replace(turn=jnp.int32(52))
+    eng._rebuild()
+    # tree 0 looks healthy (winrate 1.0 alone); trees 1-2 are hopeless and
+    # much more visited.  Pooled: N=210, Wv=10-98-98=-186 -> mixed -0.886
+    # -> winrate 0.057 < 0.1 -> must resign.
+    rs = eng.trees.root_stats
+    rs = rs.at[0, 0].set(10.0).at[1, 0].set(100.0).at[2, 0].set(100.0)
+    rs = rs.at[0, 2].set(10.0).at[1, 2].set(-98.0).at[2, 2].set(-98.0)
+    eng.trees = eng.trees.replace(root_stats=rs)
+    assert eng.winrate() < 0.1  # tree-0-only reading would give 1.0
+    out = eng.send("genmove black")
+    assert "resign" in out
+
+
+def test_case_insensitive_verbs_case_preserving_args(tmp_path):
+    """Verb and color args are case-normalized, but paths pass through raw
+    (reference lowercases the whole line, gtp.py:117 — fixed divergence)."""
+    eng = GTPEngine(
+        fake_evaluator(),
+        None,
+        SearchConfig(expand_thresh=4, no_sim=True, max_nodes=512, n_rollouts=8),
+        EngineConfig(time_lim=None, n_rollouts=8, pondering=False),
+    )
+    eng.running = True
+    ok(eng, "clear_board")
+    ok(eng, "play BLACK E5")
+    ok(eng, "PLAY White C3")
+    assert ok(eng, "KNOWN_COMMAND PLAY") == "true"
+    path = os.path.join(tmp_path, "MixedCase.SGF")
+    ok(eng, f"printsgf {path}")
+    assert os.path.exists(path)
+    ok(eng, "clear_board")
+    out = ok(eng, f"LOADSGF {path} 3")
+    assert out in ("black", "white")
+    assert int(eng.state.turn) == 2
+    ok(eng, "PONDERING OFF")
+    assert eng.pondering is False
+
+
 def test_zero_rollout_genmove_policy_fallback():
     """With no rollouts, genmove still produces a legal move via policy
     sampling (reference choose -> find_random_child)."""

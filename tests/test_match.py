@@ -1,7 +1,8 @@
 """Engine-vs-engine integration match over the GTP subprocess harness.
 
-Slow (two engine subprocesses, each compiling JAX on CPU): opt in with
-BOKEGO_RUN_SLOW=1.  The same flow is exercised in the project verify skill.
+The minimal self-match (tiny rollouts, 10 moves) runs in the DEFAULT suite
+so every round exercises boke.py over real pipes (gtp.py:533-604 is how the
+reference was evaluated).  Set BOKEGO_SKIP_SLOW=1 to opt out.
 """
 
 import os
@@ -13,7 +14,7 @@ from bokego_tpu import sgf
 from bokego_tpu.gtp.process import gtp_match
 
 pytestmark = pytest.mark.skipif(
-    not os.environ.get("BOKEGO_RUN_SLOW"), reason="set BOKEGO_RUN_SLOW=1"
+    os.environ.get("BOKEGO_SKIP_SLOW"), reason="BOKEGO_SKIP_SLOW set"
 )
 
 
