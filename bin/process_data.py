@@ -13,15 +13,26 @@ import argparse
 def main():
     p = argparse.ArgumentParser(description="csv -> npz feature precompute")
     p.add_argument("csv", help="input csv (board, ko, last, move|val)")
-    p.add_argument("npz", help="output npz path")
+    p.add_argument("out", help="output path: .npz (feature precompute) or a "
+                   "shard prefix with --shards (packed raw positions)")
+    p.add_argument("--shards", action="store_true",
+                   help="write packed .pshard.npz shards (constant-memory "
+                   "streaming SL; features computed on device at train time)")
+    p.add_argument("--shard-size", type=int, default=262144)
     args = p.parse_args()
 
     from bokego_tpu.train import data
 
+    if args.shards:
+        ds = data.pack_csv(args.csv)
+        paths = data.save_shards(args.out, ds, args.shard_size)
+        kind = "vals" if ds.is_value else "moves"
+        print(f"wrote {len(paths)} shards: {len(ds)} positions ({kind})")
+        return
     ds = data.load_csv(args.csv)
-    data.save_npz(args.npz, ds)
+    data.save_npz(args.out, ds)
     kind = "vals" if ds.is_value else "moves"
-    print(f"wrote {args.npz}: {len(ds)} positions ({kind})")
+    print(f"wrote {args.out}: {len(ds)} positions ({kind})")
 
 
 if __name__ == "__main__":

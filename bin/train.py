@@ -34,7 +34,9 @@ def main():
     from bokego_tpu.train import checkpoints, data, sl
 
     print("Loading data...")
-    dataset = data.load(args.d)
+    # csv / .pshard.npz / shard glob / dir -> constant-memory streaming with
+    # on-device featurization; legacy feature npz -> in-memory
+    dataset = data.load_streaming(args.d)
     print(f"Number of board positions: {len(dataset)}")
 
     start_epoch, opt_state = 0, None

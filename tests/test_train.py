@@ -110,6 +110,59 @@ def test_genvals_generate_and_csv(tmp_path):
     assert ds.is_value and len(ds) == 8 * len(rows)
 
 
+def test_packed_dataset_matches_legacy_csv_loader(tmp_path):
+    """PackedDataset (raw positions + on-device featurization) must produce
+    byte-identical feature planes and targets to the legacy load_csv path."""
+    sl_vars = init_policy(jax.random.PRNGKey(0))
+    samples = genvals.generate(
+        jax.random.PRNGKey(1), sl_vars, sl_vars, batch=4,
+        max_turns=14, min_r=4, max_r=8,
+    )
+    rows = genvals.samples_to_rows(samples)
+    p = os.path.join(tmp_path, "vals.csv")
+    genvals.write_csv(p, rows)
+    legacy = data.load_csv(p)
+    packed = data.pack_csv(p)
+    assert len(packed) == len(legacy) and packed.is_value
+    np.testing.assert_array_equal(packed.targets, legacy.targets)
+    sel = np.arange(len(packed))
+    fts, t = packed._featurize(sel, k=0)
+    np.testing.assert_array_equal(np.asarray(fts), legacy.features)
+
+    # augmented batch: features of transformed raw positions == transformed
+    # features of the originals (equivariance, checked end to end)
+    fts3, _ = packed._featurize(sel, k=3)
+    np.testing.assert_array_equal(
+        np.asarray(fts3), data.d4_apply_planes(legacy.features, 3)
+    )
+
+
+def test_sharded_dataset_roundtrip_and_streaming(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 20
+    boards = rng.integers(0, 3, (n, NN)).astype(np.uint8)
+    ds = data.PackedDataset(
+        boards=boards,
+        ko=np.full(n, -1, np.int16),
+        last=rng.integers(0, NN, n).astype(np.int16),
+        turn=rng.integers(0, 2, n).astype(np.int8),
+        targets=rng.integers(0, NN, n).astype(np.int32),
+        is_value=False,
+    )
+    prefix = os.path.join(tmp_path, "pol")
+    paths = data.save_shards(prefix, ds, shard_size=8)
+    assert len(paths) == 3
+    sharded = data.load_streaming(os.path.join(tmp_path, "*.pshard.npz"))
+    assert len(sharded) == n and not sharded.is_value
+    seen = 0
+    for fts, targets in sharded.batches(4, np.random.default_rng(1)):
+        assert np.asarray(fts).shape == (4, 9, 9, 27)
+        seen += len(targets)
+    assert seen == 20  # 3 shards of (8, 8, 4), each a multiple of bs=4
+    # directory form loads too
+    assert len(data.load_streaming(str(tmp_path))) == n
+
+
 def test_checkpoint_roundtrip_and_pool(tmp_path):
     variables = init_policy(jax.random.PRNGKey(0))
     path = os.path.join(tmp_path, "ckpt")
