@@ -32,22 +32,46 @@ class Node:
         return self.uid == other.uid
 
 
+class PosNode:
+    """TRUE reference keying: equality on (board, ko, last_move) so
+    identical positions reached by different move orders MERGE their
+    Q/N/V stats across the whole tree (mcts.py:294-298 + the shared
+    class-level dicts, mcts.py:50-53)."""
+
+    __slots__ = ("game", "action", "_key")
+
+    def __init__(self, game: OracleGame, action=None):
+        self.game = game
+        self.action = action
+        self._key = (tuple(game.board), game.ko, game.last_move)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return self._key == other._key
+
+
 class DictMCTS:
     """Reference-semantics PUCT: Q/N/V dicts, expand_thresh, value-only
     leaves (no_sim), most-visited choose."""
 
     def __init__(self, root_game, probs_fn, value_fn, *, exploration_weight=4.0,
-                 expand_thresh=100, branch_num=None, max_turns=80):
+                 expand_thresh=100, branch_num=None, max_turns=80,
+                 merge_transpositions=False):
         self.probs_fn = probs_fn  # game -> list[81] of probs
         self.value_fn = value_fn  # game -> float (side-to-move POV)
         self.c = exploration_weight
         self.expand_thresh = expand_thresh
         self.branch_num = branch_num
         self.max_turns = max_turns
+        # merge_transpositions=True reproduces the reference's position-keyed
+        # stat sharing (mcts.py:294-298); False matches the array path-tree.
+        self._node_cls = PosNode if merge_transpositions else Node
         self.N, self.Q, self.V = {}, {}, {}
         self.children = {}
         self.dists = {}
-        self.root = Node(root_game)
+        self.root = self._node_cls(root_game)
         self._expand(self.root)
 
     def _terminal(self, game):
@@ -73,7 +97,7 @@ class DictMCTS:
         for a in legal:
             g = node.game.copy()
             g.play(a)
-            kids.append(Node(g, action=a))
+            kids.append(self._node_cls(g, action=a))
         self.children[node] = kids
 
     def _puct_select(self, node):
@@ -92,7 +116,9 @@ class DictMCTS:
         for _ in range(n):
             path = [self.root]
             node = self.root
-            while True:
+            while len(path) < 4 * (self.max_turns + 2):
+                # depth bound: with transposition merging, shared children
+                # dicts can form cycles (turn isn't part of the position key)
                 if node not in self.children or not self.children[node]:
                     if self.N.get(node, 0) > self.expand_thresh:
                         self._expand(node)
