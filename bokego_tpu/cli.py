@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast", action="store_true",
                    help="TPU perf mode: Pallas rollout kernel + amortized "
                         "leaf evaluation (eval_every=8)")
+    p.add_argument("--noise", type=float, default=0.0,
+                   help="Dirichlet root-noise weight (mcts.py:41,366-369); "
+                        "per-tree noise diversifies --forest root-parallel "
+                        "search (disables subtree reuse)")
     return p
 
 
@@ -82,9 +86,10 @@ def main(argv=None):
             use_kernel=not args.simulate,
             eval_every=8,
             max_nodes=512,
+            noise_weight=args.noise,
         )
     else:
-        scfg = SearchConfig(no_sim=not args.simulate)
+        scfg = SearchConfig(no_sim=not args.simulate, noise_weight=args.noise)
     ecfg = EngineConfig(
         time_lim=None if args.r else args.t,
         n_rollouts=args.r,

@@ -59,7 +59,10 @@ COMMANDS = (
 COLORS = ("black", "b", "w", "white")
 
 PONDER_CHUNK = 10  # rollouts per ponder iteration (gtp.py:72)
-ROLLOUT_CHUNK = 8  # rollouts per device dispatch in timed mode
+ROLLOUT_CHUNK = 8  # rollouts per small device dispatch (ponder granularity)
+BIG_CHUNK = 256  # rollouts per large dispatch: the axon tunnel costs ~110ms
+# per dispatch regardless of chunk, so timed/bulk search amortizes it with
+# big chunks (measured: 8/dispatch -> 76 rollouts/s, 256 -> ~2,000/s)
 
 
 class GTPEngine:
@@ -92,6 +95,10 @@ class GTPEngine:
         self._jit_run = jax.jit(
             lambda rng, t, p: mcts.run_search(rng, t, self.ev, p, cfg, ROLLOUT_CHUNK)
         )
+        self._jit_run_big = jax.jit(
+            lambda rng, t, p: mcts.run_search(rng, t, self.ev, p, cfg, BIG_CHUNK)
+        )
+        self._dispatch_s = {ROLLOUT_CHUNK: 0.15, BIG_CHUNK: 0.35}  # measured online
         self._jit_advance = jax.jit(mcts.advance_root)
         self._jit_expand_roots = jax.jit(
             lambda t, p: mcts.expand_roots(t, self.ev, p, cfg)
@@ -123,21 +130,40 @@ class GTPEngine:
         if self.trees is None:
             self._rebuild()
 
+    def _dispatch(self, big: bool):
+        """One blocking search dispatch; tracks measured wall time."""
+        run = self._jit_run_big if big else self._jit_run
+        t0 = time.monotonic()
+        self.trees = run(self._next_rng(), self.trees, self.params)
+        jax.block_until_ready(self.trees.visits)
+        chunk = BIG_CHUNK if big else ROLLOUT_CHUNK
+        self._dispatch_s[chunk] = time.monotonic() - t0
+
     def rollout(self, n: int):
         """Do ~n rollouts (rounded up to whole device chunks)."""
         self._ensure_tree()
         done = 0
         while done < n:
-            self.trees = self._jit_run(self._next_rng(), self.trees, self.params)
-            done += ROLLOUT_CHUNK
+            big = n - done >= BIG_CHUNK
+            self._dispatch(big)
+            done += BIG_CHUNK if big else ROLLOUT_CHUNK
 
     def timed_rollout(self, seconds: float):
-        """Roll out until the wall clock expires (gtp.py:368-372)."""
+        """Roll out until the wall clock expires (gtp.py:368-372).
+
+        Dispatches BIG_CHUNK batches while they fit the remaining budget
+        (each dispatch has ~110ms fixed tunnel latency — see BIG_CHUNK
+        note), degrading to small chunks near the deadline.  Blocks per
+        dispatch so the budget isn't overrun by a queued backlog."""
         self._ensure_tree()
         t0 = time.monotonic()
-        while time.monotonic() < t0 + seconds:
-            self.trees = self._jit_run(self._next_rng(), self.trees, self.params)
-        jax.block_until_ready(self.trees.visits)
+        first = True
+        while True:
+            remaining = seconds - (time.monotonic() - t0)
+            if not first and remaining <= 0.5 * self._dispatch_s[ROLLOUT_CHUNK]:
+                break
+            self._dispatch(big=remaining >= self._dispatch_s[BIG_CHUNK])
+            first = False
 
     def winrate(self) -> float | None:
         """Root winrate aggregated over the whole forest (``MCTS.winrate``,
@@ -295,6 +321,24 @@ class GTPEngine:
         """Main loop: dispatch commands, ponder while idle (gtp.py:63-92)."""
         self.running = True
         self._ensure_tree()
+        if self.time_lim:
+            # Warm every compiled path a timed game hits before any clock
+            # runs (first compile is ~20-40s each on the remote backend),
+            # then dispatch once more so _dispatch_s holds steady-state
+            # times, not compile times.  The warmup rollouts are real search
+            # on the current root (= pondering); the advance/expand warmup
+            # runs on a throwaway copy.
+            for big in (True, True, False, False):
+                self._dispatch(big)
+            visits = self._root_child_visits()
+            if visits and self.scfg.noise_weight == 0:
+                action = max(visits)
+                scratch, ok = self._jit_advance(
+                    self.trees, jnp.full((self.forest,), action, jnp.int32)
+                )
+                scratch = self._jit_expand_roots(scratch, self.params)
+                jax.block_until_ready(scratch.visits)
+                del scratch, ok
         while self.running:
             self._get_input()
             while self._input[0] is None:

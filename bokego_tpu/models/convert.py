@@ -105,6 +105,79 @@ def load_torch_checkpoint(path: str) -> dict:
     return ckpt
 
 
+# -- Flax -> torch (inverse direction) ---------------------------------------
+#
+# Lets weights trained HERE run in the reference engine (e.g. giving the
+# reference its missing ValueNet for engine-vs-engine evaluation) and keeps
+# checkpoint portability bidirectional.
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _conv_back(sd: dict, key: str, p: dict):
+    sd[f"{key}.weight"] = _np(p["kernel"]).transpose(3, 2, 0, 1)
+    if "bias" in p:
+        sd[f"{key}.bias"] = _np(p["bias"])
+
+
+def _bn_back(sd: dict, key: str, p: dict, s: dict):
+    sd[f"{key}.weight"] = _np(p["scale"])
+    sd[f"{key}.bias"] = _np(p["bias"])
+    sd[f"{key}.running_mean"] = _np(s["mean"])
+    sd[f"{key}.running_var"] = _np(s["var"])
+    sd[f"{key}.num_batches_tracked"] = np.int64(0)
+
+
+def _dense_back(sd: dict, key: str, p: dict):
+    sd[f"{key}.weight"] = _np(p["kernel"]).T
+    sd[f"{key}.bias"] = _np(p["bias"])
+
+
+def _trunk_back(sd: dict, params: dict, stats: dict, prefix: str = "conv"):
+    conv_idx = [0, 3, 6, 9, 12, 15, 18]
+    for i, ci in enumerate(conv_idx):
+        _conv_back(sd, f"{prefix}.{ci}", params[f"conv{i}"])
+        _bn_back(sd, f"{prefix}.{ci + 1}", params[f"bn{i}"], stats[f"bn{i}"])
+    head = params["head"]
+    sd[f"{prefix}.21.weight"] = _np(head["conv"]["kernel"]).transpose(3, 2, 0, 1)
+    sd[f"{prefix}.21.bias"] = _np(head["untied_bias"]).transpose(2, 0, 1)
+
+
+def _to_torch_sd(sd_np: dict) -> dict:
+    import torch
+
+    return {k: torch.from_numpy(np.ascontiguousarray(v)) if v.ndim else
+            torch.tensor(v) for k, v in sd_np.items()}
+
+
+def policy_to_torch(variables: dict) -> dict:
+    """Flax policy variables -> torch PolicyNet state_dict."""
+    sd: dict[str, Any] = {}
+    _trunk_back(sd, variables["params"]["trunk"], variables["batch_stats"]["trunk"])
+    return _to_torch_sd(sd)
+
+
+def value_to_torch(variables: dict) -> dict:
+    """Flax value variables -> torch ValueNet state_dict."""
+    sd: dict[str, Any] = {}
+    p, s = variables["params"], variables["batch_stats"]
+    _trunk_back(sd, p["trunk"], s["trunk"])
+    _bn_back(sd, "bn", p["bn_head"], s["bn_head"])
+    _bn_back(sd, "lin_bn", p["bn_lin"], s["bn_lin"])
+    _dense_back(sd, "lin1", p["lin1"])
+    _dense_back(sd, "lin2", p["lin2"])
+    return _to_torch_sd(sd)
+
+
+def save_torch(path: str, state_dict: dict):
+    """Write a reference-format checkpoint file (boke.py:31-38 loads it)."""
+    import torch
+
+    torch.save({"model_state_dict": state_dict}, path)
+
+
 def load_policy(path: str) -> dict:
     """Reference policy checkpoint file -> Flax variables."""
     return policy_from_torch(load_torch_checkpoint(path))

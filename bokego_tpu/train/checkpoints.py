@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import re
 
+import jax
 import orbax.checkpoint as ocp
 
 
@@ -34,8 +35,25 @@ def save_variables(path: str, variables, opt_state=None, meta: dict | None = Non
 
 
 def load_checkpoint(path: str) -> dict:
-    """Load the full payload dict saved by :func:`save_variables`."""
-    return _ckptr().restore(os.path.abspath(path))
+    """Load the full payload dict saved by :func:`save_variables`.
+
+    Restores to host numpy arrays so checkpoints are portable across
+    backends (a TPU-saved checkpoint must load in a CPU-forced process —
+    StandardCheckpointer would try to re-place arrays on the saved device
+    and fail).  JAX re-commits the arrays on first use.
+    """
+    import numpy as np
+
+    c = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    meta = c.metadata(path)
+    tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+    return c.restore(
+        path,
+        restore_args=jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        ),
+    )
 
 
 def load_variables(path: str):

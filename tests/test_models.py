@@ -66,6 +66,44 @@ def test_policy_conversion_logits_parity():
     np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
 
 
+def test_flax_to_torch_roundtrip_and_reference_load():
+    """Bidirectional conversion: policy_17 -> flax -> torch reproduces the
+    original state dict bitwise, and a flax-trained ValueNet exported with
+    value_to_torch loads into the reference ValueNet (strict) and
+    reproduces our value_fn outputs."""
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from bokego.nnet import ValueNet as TorchValue  # reference oracle
+
+    from bokego_tpu.models import convert, init_value
+    from bokego_tpu.models.inference import value_fn
+
+    # policy round trip: torch -> flax -> torch, bitwise
+    orig = convert.load_torch_checkpoint(WEIGHTS)
+    back = convert.policy_to_torch(convert.policy_from_torch(orig))
+    for k, v in orig.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(
+            back[k].numpy(), v.detach().numpy(), err_msg=k
+        )
+
+    # value export: flax-native weights run in the reference net
+    variables = init_value(jax.random.PRNGKey(3))
+    sd = convert.value_to_torch(variables)
+    net = TorchValue()
+    net.load_state_dict(sd)  # strict: every key must match
+    net.eval()
+    fts = _random_features(np.random.default_rng(0), 4)
+    with torch.no_grad():
+        torch_out = net(torch.from_numpy(fts.transpose(0, 3, 1, 2)).float())
+    jax_out = np.asarray(value_fn(variables, jnp.asarray(fts)))
+    np.testing.assert_allclose(
+        jax_out.reshape(-1), torch_out.numpy().reshape(-1), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_value_net_shapes_and_range():
     from bokego_tpu.models import init_value
     from bokego_tpu.models.inference import value_fn
