@@ -103,6 +103,13 @@ class GTPEngine:
         self._jit_expand_roots = jax.jit(
             lambda t, p: mcts.expand_roots(t, self.ev, p, cfg)
         )
+        # (forest, 8, 128) root rows — genmove/winrate pull these instead of
+        # the full (forest, max_nodes, 8, 128) pstats pool (round-1 weak #8)
+        self._jit_root_rows = jax.jit(
+            lambda t: jnp.take_along_axis(
+                t.pstats, t.root[:, None, None, None].astype(jnp.int32), axis=1
+            )[:, 0]
+        )
         self._w = mcts._mix_weight(cfg, self.ev.has_value)
 
         self.running = False
@@ -182,14 +189,14 @@ class GTPEngine:
     def _root_child_visits(self) -> dict[int, int]:
         """action -> summed visits across the forest (root-parallel
         vote-combining, the unfinished ``Forest.forest_choose``,
-        gtp.py:426-428, done properly)."""
+        gtp.py:426-428, done properly).  Only the (forest, 8, 128) root rows
+        transfer to host — not the whole node pool."""
         from bokego_tpu.search import tree as tr
 
-        roots = np.asarray(self.trees.root)
-        pstats = np.asarray(self.trees.pstats)
+        rows = np.asarray(self._jit_root_rows(self.trees))
         out: dict[int, int] = {}
         for f in range(self.forest):
-            row = pstats[f, roots[f]]  # (8, 128) channel planes
+            row = rows[f]  # (8, 128) channel planes
             for a in np.flatnonzero(row[tr.C_CHILD, :NN] >= 0):
                 out[int(a)] = out.get(int(a), 0) + int(row[tr.C_N, a])
         return out

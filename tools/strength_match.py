@@ -35,6 +35,7 @@ def main():
     tally_path = os.path.join(out_dir, "tally.txt")
 
     ours = (
+        f"env JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp "
         f"python {REPO}/boke.py -p {REPO}/data/weights/policy_17_flax "
         f"-v {REPO}/data/weights/value_r2 -t {sec}"
     )
