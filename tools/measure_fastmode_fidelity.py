@@ -19,42 +19,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 import jax
-import jax.numpy as jnp
 
 from bokego_tpu.cli import load_variables
 from bokego_tpu.config import SearchConfig
-from bokego_tpu.coords import PASS_ACTION
-from bokego_tpu.env import rules, state as st
 from bokego_tpu.search import mcts
+
+from tools.config_match import play
 
 FAST = SearchConfig(use_kernel=True, eval_every=8, kernel_levels=6, max_nodes=512)
 EXACT = SearchConfig(eval_every=1, max_nodes=512)
-N_MOVES = 80
-
-
-def play(rng, params, ev, batch, n_rollouts, fast_is_black):
-    """Batch of games: fast config moves one color, exact the other."""
-    searches = {}
-    for name, cfg in (("fast", FAST), ("exact", EXACT)):
-        searches[name] = jax.jit(
-            lambda r, s, p, cfg=cfg: mcts.search(r, s, ev, p, cfg, n_rollouts)[0]
-        )
-    states = st.new_game_batch(batch)
-    done = jnp.zeros((batch,), bool)
-    for move in range(N_MOVES):
-        rng, sub = jax.random.split(rng)
-        black_to_play = move % 2 == 0
-        cfg_name = "fast" if black_to_play == fast_is_black else "exact"
-        actions = searches[cfg_name](sub, states, params)
-        actions = jnp.where(done, PASS_ACTION, actions)
-        states = rules.step_batch(states, actions)
-        done = done | rules.is_terminal_batch(states, N_MOVES)
-    scores = np.asarray(rules.score_batch(states))
-    fast_won = scores > 0 if fast_is_black else scores < 0
-    return fast_won
 
 
 def main():
@@ -70,7 +44,8 @@ def main():
     wins, total = 0, 0
     for fast_is_black in (True, False):
         rng, sub = jax.random.split(rng)
-        won = play(sub, params, ev, per_side, n_rollouts, fast_is_black)
+        won = play(sub, params, ev, per_side, FAST, EXACT,
+                   n_rollouts, n_rollouts, fast_is_black)
         wins += int(won.sum())
         total += len(won)
         print(
@@ -79,7 +54,7 @@ def main():
             f"({time.monotonic() - t0:.0f}s elapsed)", flush=True,
         )
     p = wins / total
-    ci = 1.96 * math.sqrt(p * (1 - p) / total)
+    ci = 1.96 * math.sqrt(max(p * (1 - p), 1e-9) / total)
     print(
         f"\nfast-mode (kernel, eval_every=8, levels=6) vs exact (eval_every=1)"
         f" at {n_rollouts} rollouts/move, {total} games:\n"
