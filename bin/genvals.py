@@ -25,6 +25,14 @@ def main():
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--min-r", type=int, default=70,
+                   help="earliest random-move turn (reference: 70, "
+                   "genvals.py:22 — but a value net trained only on turn-70+ "
+                   "positions extrapolates a large systematic bias at "
+                   "earlier turns; spread r across the whole game for a "
+                   "net the search can trust everywhere)")
+    p.add_argument("--max-r", type=int, default=90)
+    p.add_argument("--max-turns", type=int, default=90)
     args = p.parse_args()
 
     from bokego_tpu.cli import load_variables
@@ -36,7 +44,10 @@ def main():
     total = args.n * 1000
     rng = jax.random.PRNGKey(args.seed)
     gen = jax.jit(
-        lambda r: genvals.generate(r, sl_vars, rl_vars, args.batch)
+        lambda r: genvals.generate(
+            r, sl_vars, rl_vars, args.batch,
+            max_turns=args.max_turns, min_r=args.min_r, max_r=args.max_r,
+        )
     )
     written = 0
     while written < total:

@@ -34,18 +34,34 @@ from bokego_tpu.env import rules, state as st
 from bokego_tpu.search import mcts
 
 N_MOVES = 80
+OPEN_PLIES = 6  # policy-sampled opening moves: PUCT with zero noise is
+# deterministic, so without these every game in the batch is a replica
 
 
-def play(rng, params, ev, batch, cfg_a, cfg_b, ra, rb, a_is_black):
+def play(rng, params, ev, batch, cfg_a, cfg_b, ra, rb, a_is_black,
+         open_plies: int = OPEN_PLIES):
+    from bokego_tpu.search.playout import select_moves
+
     search_a = jax.jit(lambda r, s, p: mcts.search(r, s, ev, p, cfg_a, ra)[0])
     search_b = jax.jit(lambda r, s, p: mcts.search(r, s, ev, p, cfg_b, rb)[0])
+
+    @jax.jit
+    def sample_open(r, s, p, done):
+        probs = ev.policy_probs(p, s)
+        return select_moves(r, probs, s, avoid_eyes=True, done=done)
+
     states = st.new_game_batch(batch)
     done = jnp.zeros((batch,), bool)
     for move in range(N_MOVES):
         rng, sub = jax.random.split(rng)
-        black_to_play = move % 2 == 0
-        search = search_a if black_to_play == a_is_black else search_b
-        actions = search(sub, states, params)
+        if move < open_plies:
+            # shared random opening (per-game diversity; same positions for
+            # both sides' games, colors alternate by a_is_black pairing)
+            actions = sample_open(sub, states, params, done)
+        else:
+            black_to_play = move % 2 == 0
+            search = search_a if black_to_play == a_is_black else search_b
+            actions = search(sub, states, params)
         actions = jnp.where(done, PASS_ACTION, actions)
         states = rules.step_batch(states, actions)
         done = done | rules.is_terminal_batch(states, N_MOVES)
@@ -77,9 +93,10 @@ def main():
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.monotonic()
     wins, total = 0, 0
+    # same rng for both directions => identical sampled openings, colors
+    # swapped (paired comparison)
     for a_is_black in (True, False):
-        rng, sub = jax.random.split(rng)
-        won = play(sub, params, ev, args.games, cfg_a, cfg_b, ra, rb, a_is_black)
+        won = play(rng, params, ev, args.games, cfg_a, cfg_b, ra, rb, a_is_black)
         wins += int(won.sum())
         total += len(won)
         print(f"A as {'B' if a_is_black else 'W'}: {int(won.sum())}/{len(won)}"
