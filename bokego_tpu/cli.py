@@ -38,6 +38,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Dirichlet root-noise weight (mcts.py:41,366-369); "
                         "per-tree noise diversifies --forest root-parallel "
                         "search (disables subtree reuse)")
+    p.add_argument("--expand-thresh", type=int, default=None,
+                   help="visits before leaf expansion (default: reference's "
+                        "100, mcts.py:61 — tuned for its ~450-rollout "
+                        "budget; at this engine's budgets deeper is "
+                        "measurably stronger, see PERF.md)")
+    p.add_argument("--max-nodes", type=int, default=None,
+                   help="node-pool capacity per tree")
+    p.add_argument("--strong", action="store_true",
+                   help="tuned serving preset: expand_thresh=16, "
+                        "max_nodes=4096 (PERF.md search-config strength)")
     return p
 
 
@@ -90,6 +100,17 @@ def main(argv=None):
         )
     else:
         scfg = SearchConfig(no_sim=not args.simulate, noise_weight=args.noise)
+    overrides = {}
+    if args.strong:
+        overrides.update(expand_thresh=16, max_nodes=4096)
+    if args.expand_thresh is not None:
+        overrides["expand_thresh"] = args.expand_thresh
+    if args.max_nodes is not None:
+        overrides["max_nodes"] = args.max_nodes
+    if overrides:
+        import dataclasses
+
+        scfg = dataclasses.replace(scfg, **overrides)
     ecfg = EngineConfig(
         time_lim=None if args.r else args.t,
         n_rollouts=args.r,

@@ -37,7 +37,7 @@ def main():
     ours = (
         f"env JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp "
         f"python {REPO}/boke.py -p {REPO}/data/weights/policy_17_flax "
-        f"-v {REPO}/data/weights/value_r2 -t {sec}"
+        f"-v {REPO}/data/weights/value_r2 -t {sec} --strong"
     )
     ref = (
         f"env PYTHONPATH={REF} python {REF}/boke.py "
