@@ -146,14 +146,32 @@ class GTPEngine:
         chunk = BIG_CHUNK if big else ROLLOUT_CHUNK
         self._dispatch_s[chunk] = time.monotonic() - t0
 
-    def rollout(self, n: int):
-        """Do ~n rollouts (rounded up to whole device chunks)."""
+    def _pool_full(self) -> bool:
+        """True when some tree can't fit another expansion (82 slots).
+
+        Rollouts past this point cannot deepen the tree: an unexpandable
+        leaf's cached value is frozen, so PUCT re-visits whichever leaf
+        looks best *forever*, letting one optimistic value-net eval soak up
+        thousands of visits and win the most-visited vote with a junk move.
+        The reference's dict tree is unbounded and never hits this
+        (tree.py:27 divergence note) — so when the pool is spent, the right
+        move is to stop searching, not to keep counting frozen visits."""
+        n = int(np.asarray(self.trees.n_nodes).max())
+        return n + 82 > self.scfg.max_nodes
+
+    def rollout(self, n: int) -> bool:
+        """Do ~n rollouts (rounded up to whole device chunks).
+
+        Returns False when the node pool is exhausted (no work done)."""
         self._ensure_tree()
         done = 0
         while done < n:
+            if self._pool_full():
+                return done > 0
             big = n - done >= BIG_CHUNK
             self._dispatch(big)
             done += BIG_CHUNK if big else ROLLOUT_CHUNK
+        return True
 
     def timed_rollout(self, seconds: float):
         """Roll out until the wall clock expires (gtp.py:368-372).
@@ -161,13 +179,16 @@ class GTPEngine:
         Dispatches BIG_CHUNK batches while they fit the remaining budget
         (each dispatch has ~110ms fixed tunnel latency — see BIG_CHUNK
         note), degrading to small chunks near the deadline.  Blocks per
-        dispatch so the budget isn't overrun by a queued backlog."""
+        dispatch so the budget isn't overrun by a queued backlog.  Stops
+        early when the node pool is exhausted (see :meth:`_pool_full`)."""
         self._ensure_tree()
         t0 = time.monotonic()
         first = True
         while True:
             remaining = seconds - (time.monotonic() - t0)
             if not first and remaining <= 0.5 * self._dispatch_s[ROLLOUT_CHUNK]:
+                break
+            if self._pool_full():
                 break
             self._dispatch(big=remaining >= self._dispatch_s[BIG_CHUNK])
             first = False
@@ -285,7 +306,10 @@ class GTPEngine:
         yield "= \n"
         self._ensure_tree()
         while True:
-            self.timed_rollout(interval_cs / 200.0)
+            if self._pool_full():  # keep streaming, but don't spin the chip
+                time.sleep(interval_cs / 200.0)
+            else:
+                self.timed_rollout(interval_cs / 200.0)
             if self._input[0] is not None:
                 yield "\n"
                 break
@@ -349,9 +373,7 @@ class GTPEngine:
         while self.running:
             self._get_input()
             while self._input[0] is None:
-                if self.pondering:
-                    self.rollout(PONDER_CHUNK)
-                else:
+                if not (self.pondering and self.rollout(PONDER_CHUNK)):
                     time.sleep(0.1)
             out = self.send(self._input[0])
             if hasattr(out, "__next__"):  # analyze generator
@@ -563,11 +585,14 @@ class GTPEngine:
         return True, text
 
     def _cmd_loadsgf(self, args):
-        if len(args) != 2 or not args[1].isnumeric():
-            return False, "usage: loadsgf <path-to-sgf> <move-number>"
+        # GTP spec: loadsgf <path> [move-number] — the move number is
+        # OPTIONAL (omitted = load the whole game; gtp.py:297-301 replays
+        # all moves regardless and only uses it for the reply color).
+        if not args or (len(args) > 1 and not args[1].isnumeric()):
+            return False, "usage: loadsgf <path-to-sgf> [move-number]"
         try:
             moves = sgf.read_moves(args[0])
-            mv_num = int(args[1]) - 1
+            mv_num = int(args[1]) - 1 if len(args) > 1 else len(moves)
             for mv in moves:
                 self.input_move(mv)
             return True, "black" if mv_num % 2 == 0 else "white"

@@ -315,9 +315,11 @@ def _expand_batch(trees, nodes, probs, need, cfg: SearchConfig, precomputed=None
             t, row, did = expand_core(
                 t, l, p, nd, cfg.branch_num, cfg.max_turns, pre
             )
-            old = t.pstats[l]
+            # drop-write form, NOT where(did, row, old) scattered back:
+            # see the tree.expand_core note on the axon jit miscompile
+            idx = jnp.where(did, l, t.capacity)
             return t.replace(
-                pstats=t.pstats.at[l].set(jnp.where(did, row, old))
+                pstats=t.pstats.at[idx].set(row, mode="drop")
             )
 
         return jax.vmap(one)(trees, nodes, probs, need, precomputed)

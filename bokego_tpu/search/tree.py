@@ -198,11 +198,20 @@ def expand_core(
         jnp.where(write, slots.astype(jnp.float32), NO_CHILD)
     )
     new_row = new_row.at[C_TERM, :NN].set(child_terminal.astype(jnp.float32))
+    # Masked writes use the OOB-index + mode="drop" form everywhere instead
+    # of gather-old -> where(did, new, old) -> scatter-back: the axon TPU
+    # backend MISCOMPILES the latter when fused under jit (a refused
+    # expansion's row came back holding `slots` in the child plane, turning
+    # "no children" into 81 phantom children pointing at the pool cap —
+    # engine-level symptom: junk moves like A1/J9 from corrupted visit
+    # rows).  Minimal repro: jit(empty_tree + expand) on a terminal root;
+    # each half jitted separately is correct.
+    exp_idx = jnp.where(did, node, tree.capacity)
     tree = tree.replace(
         nodes=nodes,
         parent=tree.parent.at[slots].set(node, mode="drop"),
         action=tree.action.at[slots].set(jnp.arange(NN), mode="drop"),
-        expanded=tree.expanded.at[node].set(tree.expanded[node] | did),
+        expanded=tree.expanded.at[exp_idx].set(True, mode="drop"),
         terminal=tree.terminal.at[slots].set(child_terminal, mode="drop"),
         n_nodes=jnp.where(did, tree.n_nodes + count, tree.n_nodes),
     )
@@ -224,15 +233,18 @@ def expand(
     to land the row in place instead.
     """
     tree, new_row, did = expand_core(tree, node, probs, need, branch_num, max_turns)
-    row = tree.pstats[node]
+    # drop-write form, NOT where(did, new_row, old): see expand_core note
+    idx = jnp.where(did, node, tree.capacity)
     return tree.replace(
-        pstats=tree.pstats.at[node].set(jnp.where(did, new_row, row))
+        pstats=tree.pstats.at[idx].set(new_row, mode="drop")
     )
 
 
 def set_leaf_value(tree: Tree, node: jnp.ndarray, val: jnp.ndarray) -> Tree:
     """Cache the value-net output at first visit (the reference's
-    ``_val_cache``, mcts.py:42,393-403)."""
-    old = tree.value[node]
-    new = jnp.where(jnp.isnan(old), val, old)
-    return tree.replace(value=tree.value.at[node].set(new))
+    ``_val_cache``, mcts.py:42,393-403).
+
+    Drop-write form, NOT where(isnan(old), val, old) scattered back: see
+    the expand_core note on the axon jit-fusion miscompile."""
+    idx = jnp.where(jnp.isnan(tree.value[node]), node, tree.capacity)
+    return tree.replace(value=tree.value.at[idx].set(val, mode="drop"))
