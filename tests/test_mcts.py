@@ -138,6 +138,35 @@ def test_terminal_root_returns_pass():
     assert a == PASS_ACTION
 
 
+def test_terminal_root_jitted_no_phantom_children():
+    """Regression: the WHOLE search jitted as one graph on a batch mixing a
+    terminal root with a live one.  On the axon TPU backend the fused
+    gather->where(did)->scatter write-back of a REFUSED expansion
+    miscompiled, leaving the pool-cap slot ids in the terminal root's child
+    plane — 81 phantom children whose corrupted visit rows out-voted real
+    moves (engine symptom: junk moves like A1/J9).  The drop-write form
+    must keep the row clean under jit on every backend."""
+    from bokego_tpu.search import tree as tr
+
+    live = st.new_game()
+    term = rules.step(st.new_game(), jnp.int32(PASS_ACTION))
+    batch = jax.tree.map(lambda a, b: jnp.stack([a, b]), term, live)
+    cfg = SearchConfig(expand_thresh=2, no_sim=True, max_nodes=256)
+    ev = fake_evaluator()
+    actions, trees = jax.jit(
+        lambda r, s: mcts.search(r, s, ev, None, cfg, 40)
+    )(jax.random.PRNGKey(0), batch)
+    row_term = np.asarray(trees.pstats)[0][int(np.asarray(trees.root)[0])]
+    assert int(actions[0]) == PASS_ACTION
+    assert not (row_term[tr.C_CHILD, :NN] >= 0).any()
+    assert row_term[tr.C_N, :NN].max() == 0.0
+    # the live tree is unaffected: exact visit accounting at its root
+    row_live = np.asarray(trees.pstats)[1][int(np.asarray(trees.root)[1])]
+    assert row_live[tr.C_N, :NN].sum() == 40.0
+    legal = np.asarray(rules.legal_mask_batch(batch))
+    assert legal[1, int(actions[1])]
+
+
 def test_batched_search_runs():
     """Multiple trees advance independently in one scan."""
     B = 4
