@@ -226,8 +226,14 @@ class GTPEngine:
         """Step the engine state; re-root the tree into the played child
         (subtree reuse, mcts.py:110-131) or rebuild when the child isn't in
         the tree / the pool is running low."""
+        prev = self.state
         self.state = rules.step(self.state, jnp.int32(action))
         if bool(self.state.invalid):
+            # restore BEFORE raising: rules.step latches `invalid` forever
+            # (device-side IllegalMove), so keeping the stepped state would
+            # poison every subsequent move — the reference's testing=True
+            # dry run likewise leaves the Game unmutated (go.py:123-158)
+            self.state = prev
             raise ValueError("illegal move")
         if self.trees is not None and self.scfg.noise_weight == 0:
             trees, ok = self._jit_advance(self.trees, jnp.full(
@@ -498,6 +504,7 @@ class GTPEngine:
         except ValueError:
             return False, "invalid coordinate"
         turn = 0 if "b" in color else 1
+        before = self.state
         try:
             if turn != int(self.state.turn) % 2:
                 # out-of-turn play: insert a PASS first (gtp.py:174-186)
@@ -509,6 +516,15 @@ class GTPEngine:
             else:
                 self.input_move(mv)
         except ValueError:
+            # atomic: don't keep the inserted PASS when the move itself
+            # was rejected (the pair would silently flip the turn parity)
+            self.state = before
+            print(
+                f"[engine] rejected play {color} {args[1]} "
+                f"(turn {int(self.state.turn)})",
+                file=sys.stderr,
+                flush=True,
+            )
             return False, "illegal move"
         return True, ""
 
