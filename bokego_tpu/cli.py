@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="node-pool capacity per tree")
     p.add_argument("--strong", action="store_true",
                    help="tuned serving preset: expand_thresh=16, "
-                        "max_nodes=32768 (PERF.md search-config strength; "
+                        "max_nodes=65536 (PERF.md search-config strength; "
                         "the big pool feeds deep searches at multi-thousand "
                         "rollout budgets — each expansion allocates up to "
                         "82 child slots)")
@@ -105,7 +105,7 @@ def main(argv=None):
         scfg = SearchConfig(no_sim=not args.simulate, noise_weight=args.noise)
     overrides = {}
     if args.strong:
-        overrides.update(expand_thresh=16, max_nodes=32768)
+        overrides.update(expand_thresh=16, max_nodes=65536)
     if args.expand_thresh is not None:
         overrides["expand_thresh"] = args.expand_thresh
     if args.max_nodes is not None:

@@ -203,7 +203,14 @@ class GTPEngine:
         rs = np.asarray(self.trees.root_stats, np.float64)  # (forest, 3)
         n, q, v = rs.sum(axis=0)
         if n <= 0:
-            return 0.0
+            # Freshly (re)built tree, no visits yet: the winrate is UNKNOWN,
+            # not 0.  Returning 0 here made the surrender rule resign any
+            # game past turn 50 whenever _apply_move had just rebuilt the
+            # forest (e.g. pool exhausted under --strong + pondering) —
+            # including a recorded match game White resigned while +8.5.
+            # The reference never rebuilds (persistent dict tree), so its
+            # stale-stats surrender check always has visits (gtp.py:339-342).
+            return None
         mixed = ((1.0 - self._w) * q + self._w * v) / n
         return float((mixed + 1.0) / 2.0)
 

@@ -13,7 +13,7 @@ import shlex
 from subprocess import PIPE, Popen, TimeoutExpired
 
 from bokego_tpu import sgf
-from bokego_tpu.coords import squash
+from bokego_tpu.coords import PASS, squash
 
 
 class GTPProcess:
@@ -112,9 +112,24 @@ def gtp_match(
             eng.komi(komi)
             eng.clear_board()
 
+        # Neutral referee: replay every generated move on a host-side board
+        # (native C++ rules, no device).  Catches desyncs the engines can't
+        # see — e.g. the reference samples occupied points once past its
+        # MAX_TURNS=80 terminal horizon (mcts.py:319-364) — and provides
+        # gnugo-free Tromp-Taylor scoring when an engine's final_score is
+        # unusable.
+        referee = None
+        try:
+            from bokego_tpu.native import NativeBoard
+
+            referee = NativeBoard(komi)
+        except Exception:
+            pass
+
         moves: list[int] = []
         passes = 0
         resigned: str | None = None
+        illegal_by: str | None = None
         while passes < 2 and len(moves) < max_moves:
             for color, me, other in (("black", black, white), ("white", white, black)):
                 vertex = me.genmove(color).upper()
@@ -123,21 +138,34 @@ def gtp_match(
                 if vertex == "RESIGN":
                     resigned = color
                     break
-                if vertex == "PASS":
-                    passes += 1
-                else:
-                    passes = 0
-                    moves.append(squash(vertex))
+                mv = PASS if vertex == "PASS" else squash(vertex)
+                if referee is not None and mv != PASS:
+                    try:
+                        referee.play(mv)
+                    except ValueError:
+                        # impossible on the true board: end the game here
+                        # rather than record/relay a desynced move
+                        illegal_by = color
+                        break
+                elif referee is not None:
+                    referee.play(PASS)
+                passes = passes + 1 if mv == PASS else 0
+                moves.append(mv)  # passes too — SGF colors stay aligned
                 other.play(color, vertex)
                 if passes >= 2 or len(moves) >= max_moves:
                     break
-            if resigned:
+            if resigned or illegal_by:
                 break
 
         if resigned:
             score = "W+R" if resigned == "black" else "B+R"
         else:
-            score = black.final_score()
+            score = black.final_score() if illegal_by is None else ""
+            if (not score or score.startswith("?")) and referee is not None:
+                tt = referee.score()  # black minus (white + komi)
+                score = (
+                    f"B+{tt:g}" if tt > 0 else f"W+{-tt:g}" if tt < 0 else "0"
+                )
         if sgf_path:
             sgf.write_sgf(
                 moves, sgf_path, komi=komi, black=black.name, white=white.name,

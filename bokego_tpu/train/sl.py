@@ -114,7 +114,7 @@ def train(
     seed: int = 0,
     opt_state=None,
     start_epoch: int = 0,
-    log_every: int = 1000,
+    log_every: int = 100,
     log_fn: Callable[[str], None] = print,
     stats_path: str | None = None,
 ) -> TrainState:
