@@ -44,7 +44,12 @@ def main():
     else:
         n_latest, ckpt = latest
     variables = ckpt["variables"]
-    opt_state = ckpt.get("opt_state")
+    # Optimizer state only threads within this process: a checkpointed one
+    # restores as plain dicts (orbax drops optax NamedTuple types) and the
+    # pool seed's SL state has a different optimizer tree anyway — fresh
+    # Adam state per run matches the reference, which never checkpoints
+    # optimizer state across selfplay.py invocations either.
+    opt_state = None
     print(f"Opponent pool size: {n_latest}")
 
     rng = np.random.default_rng(args.seed)

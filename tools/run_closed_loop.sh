@@ -22,11 +22,10 @@ echo "== 2/6 policy SL (from random init) =="
   --stats "$GEN/policy_sl_stats.txt"
 
 echo "== 3/6 REINFORCE generations (opponent pool) =="
-for i in $(seq 1 8); do
-  [ -d "$POOL/policy_$i" ] || python -u bin/selfplay.py \
-    -e 1 -n 64 -b 64 -w "$POOL" -f "$GEN/RL_stats_r2.txt" \
-    --lr 1e-5 --seed "$i"
-done
+# one process: optimizer state threads in memory across the 8 generations
+[ -d "$POOL/policy_8" ] || python -u bin/selfplay.py \
+  -e 8 -n 64 -b 64 -w "$POOL" -f "$GEN/RL_stats_r2.txt" \
+  --lr 1e-5 --seed 1
 
 echo "== 4/6 value data from own policies (SL opens, RL finishes) =="
 [ -f "$GEN/vals_own.csv" ] || python -u bin/genvals.py \
