@@ -32,11 +32,16 @@ class GTPProcess:
             raise
 
     def send(self, command: str) -> str:
-        """Send one command, return the stripped response payload."""
+        """Send one command, return the stripped response payload (empty
+        when the engine has already exited — e.g. the reference quits its
+        mainloop right after resigning)."""
         if self.verbose:
             print(f"[{self.id}] >> {command}")
-        self.subproc.stdin.write((command.rstrip("\n") + "\n").encode())
-        self.subproc.stdin.flush()
+        try:
+            self.subproc.stdin.write((command.rstrip("\n") + "\n").encode())
+            self.subproc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            return ""
         lines = []
         while True:
             raw = self.subproc.stdout.readline()
@@ -108,6 +113,7 @@ def gtp_match(
     white = GTPProcess("white", white_cmd, verbose)
     try:
         for eng in (black, white):
+            eng.name  # cache while alive (a resigner may exit early)
             eng.boardsize(9)
             eng.komi(komi)
             eng.clear_board()
