@@ -44,6 +44,8 @@ def main():
         kernel_levels=6,
         eval_every=8 if on_tpu else 1,
     )
+    # f32 trunks: bf16 measured SLOWER here (1,922 vs 1,986 g/min — the
+    # per-call casts outweigh the MXU gain at this batch; PERF.md).
     ev = mcts.net_evaluator(has_value=True)
     from bokego_tpu.models import init_policy, init_value
 

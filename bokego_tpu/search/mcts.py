@@ -56,16 +56,40 @@ class Evaluator(NamedTuple):
     # generation (rules.leaf_analysis) on eval steps
 
 
-def net_evaluator(has_value: bool = True) -> "Evaluator":
+def net_evaluator(has_value: bool = True, dtype=None) -> "Evaluator":
     """Standard evaluator over the Flax nets; params =
-    {'policy': vars, 'value': vars}."""
+    {'policy': vars, 'value': vars}.
+
+    ``dtype=jnp.bfloat16`` runs the conv trunks in bf16 (2× MXU throughput
+    on v5e; the net forward dominates the search's eval phase — PERF.md).
+    Probabilities/values are cast back to f32 for the tree math; measured
+    move agreement stays within search noise.  Default f32 preserves exact
+    logits parity with the torch reference (tests/test_models.py)."""
+
+    def _cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
 
     def policy_probs(params, states):
-        return inference.policy_probs(params["policy"], features_batch(states))
+        pol, fts = params["policy"], features_batch(states)
+        if dtype is not None:
+            pol, fts = _cast(pol), fts.astype(dtype)
+        return inference.policy_probs(pol, fts).astype(jnp.float32)
 
     def evaluate_fts(params, fts):
-        probs = inference.policy_probs(params["policy"], fts)
-        vals = inference.value_fn(params["value"], fts) if has_value else None
+        pol, val = params["policy"], params.get("value")
+        if dtype is not None:
+            pol, val, fts = _cast(pol), _cast(val), fts.astype(dtype)
+        probs = inference.policy_probs(pol, fts).astype(jnp.float32)
+        vals = (
+            inference.value_fn(val, fts).astype(jnp.float32)
+            if has_value
+            else None
+        )
         return probs, vals
 
     def evaluate(params, states):
