@@ -321,9 +321,20 @@ def init_trees(
     return trees
 
 
-def _fit_block(batch: int, want: int) -> int:
-    """Largest kernel block <= ``want`` that divides the (static) batch."""
-    return next(k for k in range(min(want, batch), 0, -1) if batch % k == 0)
+def _fit_block(batch: int, want: int, align: int = 1) -> int:
+    """Largest kernel block <= ``want`` that divides the (static) batch.
+
+    On hardware, Mosaic requires row-block slices of the (8,128)-tiled
+    stats to align dim 0 to 8 (``align=8``); interpret mode has no such
+    constraint."""
+    for k in range(min(want, batch), 0, -1):
+        if batch % k == 0 and k % align == 0:
+            return k
+    raise ValueError(
+        f"no kernel block <= {want} divides batch {batch} with {align}-row "
+        f"alignment — use a batch that is a multiple of {align}, or the "
+        f"XLA path (use_kernel=False)"
+    )
 
 
 def _expand_batch(trees, nodes, probs, need, cfg: SearchConfig, precomputed=None):
@@ -358,7 +369,9 @@ def _expand_batch(trees, nodes, probs, need, cfg: SearchConfig, precomputed=None
     interpret = _jax.default_backend() == "cpu"
     pstats = write_rows(
         trees.pstats, nodes, rows, did,
-        tb=_fit_block(trees.root.shape[0], cfg.kernel_block),
+        tb=_fit_block(
+            trees.root.shape[0], cfg.kernel_block, 1 if interpret else 8
+        ),
         interpret=interpret,
     )
     return trees.replace(pstats=pstats)
@@ -453,7 +466,7 @@ def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
 
     interpret = _jax.default_backend() == "cpu"
     batch = trees.root.shape[0]
-    tb = _fit_block(batch, cfg.kernel_block)
+    tb = _fit_block(batch, cfg.kernel_block, 1 if interpret else 8)
     pstats, kd = descend_backprop(
         trees.pstats,
         trees.value,

@@ -10,6 +10,19 @@ their valuation cadences agree), deterministic net-free evaluator, exact
 visit-count / stats comparison.
 
 Usage: python tools/check_kernel_parity_tpu.py
+
+STATUS (round 2, first successful hardware run after fixing the kernel
+block to Mosaic's 8-row tile alignment): the strict allclose FAILS on
+hardware — visit totals and explored-children counts match the XLA path
+exactly, but once leaf values enter the PUCT average the two paths
+concentrate revisits on DIFFERENT children (e.g. 60 rollouts: both visit
+43 children; XLA's favorite gets 12 visits, the kernel's 16, different
+child), so root value sums diverge.  Interpret mode matches XLA bit-for-
+bit (tests/test_rollout_kernel.py) — the divergence is specific to the
+aliased in-place DMA path on hardware and is an open round-3 item.
+Measured STRENGTH impact of the kernel config: none — it WINS 0.586 ±
+0.085 vs the exact XLA path at equal rollouts over 128 real games
+(tools/measure_fastmode_fidelity.py, PERF.md).
 """
 
 import os
@@ -50,7 +63,7 @@ def main():
     for thresh in (100, 3):
         base = dict(
             expand_thresh=thresh, no_sim=True, max_nodes=256, max_turns=80,
-            eval_every=2, kernel_block=4, max_depth=8, kernel_levels=8,
+            eval_every=2, kernel_block=8, max_depth=8, kernel_levels=8,
         )
         t_xla = run(SearchConfig(**base, use_kernel=False), 60)
         t_ker = run(SearchConfig(**base, use_kernel=True), 60)
