@@ -126,7 +126,14 @@ def _kernel(
         total = jnp.maximum(jnp.sum(jnp.where(valid, nf, 0.0), axis=1), 1.0)
         score = -avg + c * row[:, C_PRIOR, :] * jnp.sqrt(total)[:, None] / (1.0 + nf)
         score = jnp.where(valid, score, -jnp.inf)
-        best_a = jnp.argmax(score, axis=1).astype(jnp.int32)  # (TB,)
+        # lowest-index tie-break, matching XLA argmax semantics: Mosaic's
+        # lane-reduce argmax resolves exact ties (equal priors at N=0)
+        # differently, which forked the search from the XLA path on
+        # hardware (measured by tools/check_kernel_parity_tpu.py)
+        mx = jnp.max(score, axis=1)
+        best_a = jnp.min(
+            jnp.where(score == mx[:, None], iota_lane, score.shape[1]), axis=1
+        ).astype(jnp.int32)  # (TB,)
         onehot = iota_lane == best_a[:, None]
         picked_child = jnp.sum(jnp.where(onehot, kids, 0.0), axis=1).astype(
             jnp.int32

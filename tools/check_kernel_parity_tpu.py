@@ -11,18 +11,13 @@ visit-count / stats comparison.
 
 Usage: python tools/check_kernel_parity_tpu.py
 
-STATUS (round 2, first successful hardware run after fixing the kernel
-block to Mosaic's 8-row tile alignment): the strict allclose FAILS on
-hardware — visit totals and explored-children counts match the XLA path
-exactly, but once leaf values enter the PUCT average the two paths
-concentrate revisits on DIFFERENT children (e.g. 60 rollouts: both visit
-43 children; XLA's favorite gets 12 visits, the kernel's 16, different
-child), so root value sums diverge.  Interpret mode matches XLA bit-for-
-bit (tests/test_rollout_kernel.py) — the divergence is specific to the
-aliased in-place DMA path on hardware and is an open round-3 item.
-Measured STRENGTH impact of the kernel config: none — it WINS 0.586 ±
-0.085 vs the exact XLA path at equal rollouts over 128 real games
-(tools/measure_fastmode_fidelity.py, PERF.md).
+STATUS (round 2): PASS on hardware at both thresholds.  The first run
+failed two ways, both fixed: (1) kernel_block=4 violated Mosaic's 8-row
+tile alignment (now enforced in `mcts._fit_block`); (2) Mosaic's
+lane-reduce argmax resolves EXACT PUCT-score ties to a different index
+than XLA's first-maximum semantics, forking the search from the first
+tied selection — the kernel now tie-breaks to the lowest index
+explicitly (ops/rollout.py).
 """
 
 import os
