@@ -42,6 +42,7 @@ from bokego_tpu.coords import (
 )
 from bokego_tpu.env import rules, state as st
 from bokego_tpu.search import mcts
+from bokego_tpu.search import tree as tr_mod
 
 NAME = "bokego-tpu"
 VERSION = "0.1"
@@ -58,11 +59,14 @@ COMMANDS = (
 
 COLORS = ("black", "b", "w", "white")
 
-PONDER_CHUNK = 10  # rollouts per ponder iteration (gtp.py:72)
-ROLLOUT_CHUNK = 8  # rollouts per small device dispatch (ponder granularity)
+ROLLOUT_CHUNK = 8  # rollouts per small device dispatch (deadline granularity)
 BIG_CHUNK = 256  # rollouts per large dispatch: the axon tunnel costs ~110ms
 # per dispatch regardless of chunk, so timed/bulk search amortizes it with
 # big chunks (measured: 8/dispatch -> 76 rollouts/s, 256 -> ~2,000/s)
+PONDER_CHUNK = BIG_CHUNK  # rollouts per ponder iteration.  The reference
+# ponders 10 rollouts between stdin polls (gtp.py:72); here one device
+# dispatch IS the poll granularity (~0.15s), so pondering at small chunks
+# would waste ~90% of the idle chip on tunnel latency.
 
 
 class GTPEngine:
@@ -100,6 +104,10 @@ class GTPEngine:
         )
         self._dispatch_s = {ROLLOUT_CHUNK: 0.15, BIG_CHUNK: 0.35}  # measured online
         self._jit_advance = jax.jit(mcts.advance_root)
+        # off-path slot reclamation at every re-root (the reference's
+        # _prune, mcts.py:236-255): keeps long --strong games from ever
+        # freezing on an exhausted pool (round-2 weak #5)
+        self._jit_compact = jax.jit(jax.vmap(tr_mod.compact))
         self._jit_expand_roots = jax.jit(
             lambda t, p: mcts.expand_roots(t, self.ev, p, cfg)
         )
@@ -109,6 +117,11 @@ class GTPEngine:
             lambda t: jnp.take_along_axis(
                 t.pstats, t.root[:, None, None, None].astype(jnp.int32), axis=1
             )[:, 0]
+        )
+        self._jit_pv = jax.jit(
+            lambda t, acts: mcts.pv_walk(
+                jax.tree.map(lambda x: x[0], t), acts, depth=8
+            )
         )
         self._w = mcts._mix_weight(cfg, self.ev.has_value)
 
@@ -173,25 +186,63 @@ class GTPEngine:
             done += BIG_CHUNK if big else ROLLOUT_CHUNK
         return True
 
+    def _enqueue_big(self):
+        """Enqueue one BIG_CHUNK dispatch WITHOUT blocking (JAX async
+        dispatch); returns the resulting trees future."""
+        self.trees = self._jit_run_big(self._next_rng(), self.trees, self.params)
+        return self.trees
+
     def timed_rollout(self, seconds: float):
         """Roll out until the wall clock expires (gtp.py:368-372).
 
-        Dispatches BIG_CHUNK batches while they fit the remaining budget
-        (each dispatch has ~110ms fixed tunnel latency — see BIG_CHUNK
-        note), degrading to small chunks near the deadline.  Blocks per
-        dispatch so the budget isn't overrun by a queued backlog.  Stops
-        early when the node pool is exhausted (see :meth:`_pool_full`)."""
+        Pipelined dispatch, depth 2: the next BIG_CHUNK is enqueued while
+        the previous one still computes, hiding the ~110ms fixed tunnel
+        latency behind device work (~2x single-tree rollouts/s; an
+        UNBOUNDED enqueue loop is not safe — a queued backlog once overran
+        a 2s budget to 7.5s, PERF.md).  Budget accounting blocks on the
+        older dispatch, so at most one chunk (~0.1s) can overrun the
+        deadline.  Small blocking chunks mop up the remaining budget.
+        Stops early when the node pool runs low (see :meth:`_pool_full`;
+        the margin covers the expansions one in-flight chunk can allocate).
+        """
         self._ensure_tree()
         t0 = time.monotonic()
+        margin = 82 * (1 + BIG_CHUNK // max(1, self.scfg.expand_thresh))
+        pending = None  # previous dispatch, enqueued but not yet awaited
+        t_block = t0
         first = True
         while True:
             remaining = seconds - (time.monotonic() - t0)
-            if not first and remaining <= 0.5 * self._dispatch_s[ROLLOUT_CHUNK]:
+            committed = self._dispatch_s[BIG_CHUNK] * (
+                2.4 if pending is not None else 1.2
+            )
+            if not first and remaining <= committed:
+                break
+            if pending is None and self._pool_full():
+                break
+            trees = self._enqueue_big()
+            if pending is not None:
+                jax.block_until_ready(pending.visits)
+                now = time.monotonic()
+                # steady-state per-chunk time with the tunnel latency hidden
+                self._dispatch_s[BIG_CHUNK] = max(0.01, now - t_block)
+                t_block = now
+                n = int(np.asarray(pending.n_nodes).max())
+                if n + margin > self.scfg.max_nodes:
+                    break  # pool nearly spent: drain and stop
+            else:
+                t_block = time.monotonic()
+            pending = trees
+            first = False
+        jax.block_until_ready(self.trees.visits)
+        # mop up any leftover budget with small blocking chunks
+        while True:
+            remaining = seconds - (time.monotonic() - t0)
+            if remaining <= 1.2 * self._dispatch_s[ROLLOUT_CHUNK]:
                 break
             if self._pool_full():
                 break
-            self._dispatch(big=remaining >= self._dispatch_s[BIG_CHUNK])
-            first = False
+            self._dispatch(big=False)
 
     def winrate(self) -> float | None:
         """Root winrate aggregated over the whole forest (``MCTS.winrate``,
@@ -245,12 +296,17 @@ class GTPEngine:
         if self.trees is not None and self.scfg.noise_weight == 0:
             trees, ok = self._jit_advance(self.trees, jnp.full(
                 (self.forest,), action, jnp.int32))
-            room = int(np.asarray(trees.n_nodes).max()) + 82 <= (
-                self.scfg.max_nodes - 2
-            )
-            if bool(np.asarray(ok).all()) and room:
-                self.trees = self._jit_expand_roots(trees, self.params)
-                return
+            if bool(np.asarray(ok).all()):
+                # relabel the kept subtree to the pool head so every
+                # off-path slot is reusable — the pool only fills now when
+                # the LIVE subtree itself outgrows it
+                trees = self._jit_compact(trees)
+                room = int(np.asarray(trees.n_nodes).max()) + 82 <= (
+                    self.scfg.max_nodes - 2
+                )
+                if room:
+                    self.trees = self._jit_expand_roots(trees, self.params)
+                    return
         self._rebuild()
 
     def input_move(self, mv: int):
@@ -327,34 +383,26 @@ class GTPEngine:
                 yield "\n"
                 break
             visits = self._root_child_visits()
-            from bokego_tpu.search import tree as tr
-
-            pstats = np.asarray(jax.tree.map(lambda x: x[0], self.trees).pstats)
-            root = int(np.asarray(self.trees.root)[0])
-            row = pstats[root]  # (8, 128) channel planes
+            row = np.asarray(self._jit_root_rows(self.trees))[0]  # (8, 128)
             best = sorted(visits, key=lambda a: visits[a])[-k:]
+            # principal variations walk the tree ON DEVICE — only a
+            # (k, depth) action array transfers, not the pstats pool
+            pvs = np.asarray(
+                self._jit_pv(self.trees, jnp.asarray(best, jnp.int32))
+            )
             out = ""
-            for a in best:
-                n = max(int(row[tr.C_N, a]), 1)
-                v = ((1 - self._w) * row[tr.C_WQ, a] + self._w * row[tr.C_WV, a]) / n
+            for i, a in enumerate(best):
+                n = max(int(row[tr_mod.C_N, a]), 1)
+                v = (
+                    (1 - self._w) * row[tr_mod.C_WQ, a]
+                    + self._w * row[tr_mod.C_WV, a]
+                ) / n
                 child_wr = (v + 1) / 2
-                pv = [a]
-                cur = int(row[tr.C_CHILD, a])
-                while cur >= 0:
-                    crow = pstats[cur]
-                    valid = crow[tr.C_CHILD, :NN] >= 0
-                    if not valid.any():
-                        break
-                    cn = np.where(valid, crow[tr.C_N, :NN], -1.0)
-                    nxt = int(np.argmax(cn))
-                    if cn[nxt] <= 0:
-                        break
-                    pv.append(nxt)
-                    cur = int(crow[tr.C_CHILD, nxt])
+                pv = [a] + [int(x) for x in pvs[i] if x >= 0]
                 out += (
                     f"info move {unsquash(a)} visits {visits[a]} "
                     f"winrate {10000 * (1 - child_wr):.0f} "
-                    f"prior {10000 * row[tr.C_PRIOR, a]:.0f} "
+                    f"prior {10000 * row[tr_mod.C_PRIOR, a]:.0f} "
                     "pv " + " ".join(unsquash(pv)) + " "
                 )
             yield out + "\n"
@@ -380,6 +428,7 @@ class GTPEngine:
                 scratch, ok = self._jit_advance(
                     self.trees, jnp.full((self.forest,), action, jnp.int32)
                 )
+                scratch = self._jit_compact(scratch)
                 scratch = self._jit_expand_roots(scratch, self.params)
                 jax.block_until_ready(scratch.visits)
                 del scratch, ok
@@ -512,11 +561,14 @@ class GTPEngine:
             return False, "invalid coordinate"
         turn = 0 if "b" in color else 1
         before = self.state
+        before_last, before_undid = self._last_state, self._undid
+        inserted_pass = False
         try:
             if turn != int(self.state.turn) % 2:
                 # out-of-turn play: insert a PASS first (gtp.py:174-186)
                 self._last_state = self.state
                 self._apply_move(PASS_ACTION)
+                inserted_pass = True
                 self._apply_move(to_action(mv))
                 self._move_history.append(mv)
                 self._undid = False
@@ -524,8 +576,17 @@ class GTPEngine:
                 self.input_move(mv)
         except ValueError:
             # atomic: don't keep the inserted PASS when the move itself
-            # was rejected (the pair would silently flip the turn parity)
+            # was rejected (the pair would silently flip the turn parity).
+            # Undo bookkeeping rolls back too — otherwise _last_state ==
+            # state and a later undo pops a real history move without
+            # changing the board.
             self.state = before
+            self._last_state, self._undid = before_last, before_undid
+            if inserted_pass:
+                # _apply_move(PASS) already re-rooted/rebuilt the forest at
+                # the post-PASS position; dropping it resyncs tree <-> state
+                # (lazily rebuilt at the next search).
+                self.trees = None
             print(
                 f"[engine] rejected play {color} {args[1]} "
                 f"(turn {int(self.state.turn)})",

@@ -163,10 +163,31 @@ def gtp_match(
             if resigned or illegal_by:
                 break
 
+        comment = ""
         if resigned:
             score = "W+R" if resigned == "black" else "B+R"
+        elif illegal_by is not None and len(moves) < 80:
+            # A mid-game impossible move means the engine desynced from the
+            # true board: forfeit against it (the truncated position could
+            # otherwise still score in the offender's favor).  Past the
+            # reference's MAX_TURNS=80 horizon the game is effectively over
+            # (it deliberately samples without legality checks there,
+            # mcts.py:319-364) — those truncations score neutrally below.
+            score = "W+F" if illegal_by == "black" else "B+F"
+            comment = (
+                f"game truncated: {illegal_by} generated an impossible "
+                f"move at move {len(moves) + 1}; scored as a forfeit"
+            )
         else:
+            # a truncated game's engines have desynced boards — only the
+            # neutral referee can score it
             score = black.final_score() if illegal_by is None else ""
+            if illegal_by is not None:
+                comment = (
+                    f"game truncated: {illegal_by} generated an impossible "
+                    f"move at move {len(moves) + 1} (past the move-80 "
+                    f"horizon); scored Tromp-Taylor on the final position"
+                )
             if (not score or score.startswith("?")) and referee is not None:
                 tt = referee.score()  # black minus (white + komi)
                 score = (
@@ -175,7 +196,7 @@ def gtp_match(
         if sgf_path:
             sgf.write_sgf(
                 moves, sgf_path, komi=komi, black=black.name, white=white.name,
-                result=score,
+                result=score, comment=comment,
             )
         return "B" in score
     finally:

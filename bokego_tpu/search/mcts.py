@@ -337,6 +337,31 @@ def _fit_block(batch: int, want: int, align: int = 1) -> int:
     )
 
 
+_warned_kernel_fallback = set()
+
+
+def _kernel_ok(batch: int) -> bool:
+    """Whether the Pallas kernel path can serve this (static) batch size.
+
+    On hardware, Mosaic's 8-row tile alignment means no legal block exists
+    unless the batch is a multiple of 8 (``_fit_block`` would raise at
+    trace time — e.g. ``--fast --forest 1``).  Fall back to the XLA path
+    with a one-time warning instead of crashing the first dispatch."""
+    import warnings as _warnings
+
+    if jax.default_backend() == "cpu" or batch % 8 == 0:
+        return True
+    if batch not in _warned_kernel_fallback:
+        _warned_kernel_fallback.add(batch)
+        _warnings.warn(
+            f"use_kernel=True needs a batch that is a multiple of 8 on TPU "
+            f"(Mosaic 8-row tile alignment); batch {batch} uses the XLA "
+            f"path instead",
+            stacklevel=2,
+        )
+    return False
+
+
 def _expand_batch(trees, nodes, probs, need, cfg: SearchConfig, precomputed=None):
     """Batched expansion; on the kernel path the parent-row write goes
     through the in-place Pallas kernel (ops/rollout.write_rows) instead of
@@ -345,7 +370,7 @@ def _expand_batch(trees, nodes, probs, need, cfg: SearchConfig, precomputed=None
 
     from bokego_tpu.search.tree import expand_core
 
-    if not cfg.use_kernel:
+    if not cfg.use_kernel or not _kernel_ok(trees.root.shape[0]):
         def one(t, l, p, nd, pre):
             t, row, did = expand_core(
                 t, l, p, nd, cfg.branch_num, cfg.max_turns, pre
@@ -399,7 +424,7 @@ def search_step(
     w = _mix_weight(cfg, has_value)
     batch = trees.root.shape[0]
 
-    if cfg.use_kernel and cfg.no_sim:
+    if cfg.use_kernel and cfg.no_sim and _kernel_ok(batch):
         return _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value)
 
     desc = _descend_batch(trees, cfg, w)
@@ -529,14 +554,45 @@ def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
     return jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
 
 
+def pv_walk(tree: Tree, root_actions: jnp.ndarray, depth: int = 8) -> jnp.ndarray:
+    """Principal variations for ``root_actions`` at a SINGLE tree's root,
+    entirely on device: follow the most-visited child ``depth`` plies.
+
+    Returns int32[k, depth] actions, −1-padded once the line runs out.
+    Replaces the analyze streamer's host-side walk, which pulled the whole
+    pstats pool to the host every tick (268 MB at ``--strong``) — here only
+    a (k, depth) array transfers (gtp.py:374-399 is the reference behavior
+    being served)."""
+
+    def pv_one(a0):
+        row = tree.pstats[tree.root]
+        child0 = row[tr_mod.C_CHILD, a0].astype(jnp.int32)
+
+        def step(cur, _):
+            crow = tree.pstats[jnp.maximum(cur, 0)]
+            valid = crow[tr_mod.C_CHILD, :NN] >= 0
+            cn = jnp.where(valid, crow[tr_mod.C_N, :NN], -1.0)
+            nxt_a = jnp.argmax(cn)
+            has = (cur >= 0) & jnp.any(valid) & (cn[nxt_a] > 0)
+            nxt = jnp.where(
+                has, crow[tr_mod.C_CHILD, nxt_a].astype(jnp.int32), -1
+            )
+            return nxt, jnp.where(has, nxt_a.astype(jnp.int32), -1)
+
+        _, acts = jax.lax.scan(step, child0, None, length=depth)
+        return acts
+
+    return jax.vmap(pv_one)(root_actions.astype(jnp.int32))
+
+
 def advance_root(trees: Tree, actions: jnp.ndarray) -> tuple[Tree, jnp.ndarray]:
     """Re-root each tree at its child for ``actions`` (the reference keeps
     the subtree across moves: ``MCTS.choose``/``set_root``, mcts.py:110-131,
     153-157).  Returns (trees, ok) — ok=False where no such child exists
     (terminal root, unexpanded action, or pass) and the caller must rebuild.
-    Off-path nodes stay allocated (the reference prunes lazily via
-    ``clear_cache``; here the pool is monotonic and the host rebuilds when
-    it runs low)."""
+    Off-path nodes stay allocated until :func:`bokego_tpu.search.tree.compact`
+    relabels the kept subtree to the pool head (the serving engine runs it
+    at every re-root — the reference's ``_prune``, mcts.py:236-255)."""
     row = _take_rows(trees.pstats, trees.root)  # (B, 8, 128)
     a = jnp.clip(actions, 0, NN - 1)
     child = jnp.take_along_axis(row[:, tr_mod.C_CHILD, :NN], a[:, None], axis=1)[:, 0]

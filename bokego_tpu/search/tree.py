@@ -26,7 +26,9 @@ Known divergences from the reference (documented; see SURVEY.md §7 risks):
   set iteration order.
 * When the node pool is full, expansion is skipped (the search keeps
   sampling value estimates from existing leaves); the reference grows
-  without bound.
+  without bound.  :func:`compact` reclaims every off-path slot at re-root
+  (the reference's ``_prune``), so a served game only fills the pool if
+  one move's LIVE subtree outgrows it.
 """
 
 from __future__ import annotations
@@ -237,6 +239,84 @@ def expand(
     idx = jnp.where(did, node, tree.capacity)
     return tree.replace(
         pstats=tree.pstats.at[idx].set(new_row, mode="drop")
+    )
+
+
+def reachable_from_root(tree: Tree) -> jnp.ndarray:
+    """bool[max_nodes] — nodes in the *current* root's subtree.
+
+    Pointer doubling over the parent array: give the root a self-loop, then
+    square the ancestor map log2(max_nodes) times; chains through the root
+    saturate at the root, all others (old ancestors, off-path subtrees,
+    unallocated slots) saturate at -1.
+    """
+    n = tree.parent.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    p = jnp.where(idx == tree.root, idx, tree.parent)
+
+    def dbl(_, p):
+        return jnp.where(p >= 0, jnp.take(p, jnp.maximum(p, 0)), -1)
+
+    p = jax.lax.fori_loop(0, max(1, (n - 1).bit_length()), dbl, p)
+    return p == tree.root
+
+
+def compact(tree: Tree) -> Tree:
+    """Move the current root's subtree to the pool head, freeing every
+    off-path slot for reuse.
+
+    The array-tree analog of the reference's ``_prune`` garbage collection
+    (mcts.py:236-255): instead of deleting dict entries node by node, one
+    permutation relabels the kept subtree into slots ``[0, k)`` and resets
+    the rest to pool defaults (stats 0, child −1, value NaN) so expansion
+    can re-allocate them.  Without this, a long served game under a bounded
+    pool eventually exhausts it and the search freezes (DIVERGENCES.md §3).
+
+    Identity-preserving: tree *structure* and all per-edge statistics are
+    unchanged (only slot numbers move), so a search continued after
+    compaction chooses exactly as one continued without it.
+    """
+    n = tree.parent.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    keep = reachable_from_root(tree)
+    # Kept nodes first, preserving relative order.  Children always allocate
+    # after their parent (expand_core slots are monotonic), so the root is
+    # the lowest kept index and lands at slot 0.
+    order = jnp.argsort(~keep, stable=True).astype(jnp.int32)
+    new_of_old = jnp.zeros(n, jnp.int32).at[order].set(idx)
+    k = keep.sum(dtype=jnp.int32)
+    fresh = idx >= k
+
+    def take(x):
+        return jnp.take(x, order, axis=0)
+
+    parent = take(tree.parent)
+    parent = jnp.where(
+        parent >= 0, jnp.take(new_of_old, jnp.maximum(parent, 0)), -1
+    )
+    parent = jnp.where(fresh, -1, parent).astype(jnp.int32)
+    pstats = take(tree.pstats)
+    child = pstats[:, C_CHILD, :]
+    remapped = jnp.where(
+        child >= 0,
+        jnp.take(new_of_old, jnp.maximum(child.astype(jnp.int32), 0)).astype(
+            jnp.float32
+        ),
+        NO_CHILD,
+    )
+    pstats = pstats.at[:, C_CHILD, :].set(remapped)
+    fresh_row = jnp.zeros((CH_PAD, LANE_PAD), jnp.float32).at[C_CHILD].set(NO_CHILD)
+    pstats = jnp.where(fresh[:, None, None], fresh_row[None], pstats)
+    return tree.replace(
+        nodes=jax.tree.map(take, tree.nodes),
+        parent=parent,
+        action=jnp.where(fresh, -1, take(tree.action)).astype(jnp.int32),
+        pstats=pstats,
+        value=jnp.where(fresh, jnp.nan, take(tree.value)),
+        expanded=jnp.where(fresh, False, take(tree.expanded)),
+        terminal=jnp.where(fresh, False, take(tree.terminal)),
+        n_nodes=k,
+        root=jnp.take(new_of_old, tree.root),
     )
 
 

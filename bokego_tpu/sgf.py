@@ -44,6 +44,7 @@ def moves_to_sgf(
     white: str = "",
     result: str = "",
     handicap: int = 0,
+    comment: str = "",
 ) -> str:
     """Serialize a move sequence (go.py:528-564 semantics)."""
     out = f"(;GM[1]HA[{handicap}]RU[Chinese]"
@@ -51,6 +52,8 @@ def moves_to_sgf(
         out += f"PB[{black}]PW[{white}]"
     if result:
         out += f"RE[{result}]"
+    if comment:
+        out += f"C[{comment}]"
     out += f"SZ[{N}]KM[{komi}]\n"
     color = "B"
     for mv in moves:

@@ -264,3 +264,34 @@ def test_surrender_rule():
     assert eng.winrate() < 0.1
     out = eng.send("genmove black")
     assert "resign" in out
+
+
+def test_out_of_turn_illegal_play_is_atomic():
+    """ADVICE r2: when the inserted out-of-turn PASS succeeds but the move
+    itself is rejected, state, trees, and undo bookkeeping must all roll
+    back together — otherwise the forest stays rooted at the post-PASS
+    position and a later undo pops history without changing the board."""
+    eng = GTPEngine(
+        fake_evaluator(),
+        None,
+        SearchConfig(expand_thresh=4, no_sim=True, max_nodes=512, n_rollouts=8),
+        EngineConfig(time_lim=None, n_rollouts=8, pondering=False),
+    )
+    eng.running = True
+    assert eng.send("play b E5").startswith("=")
+    eng.rollout(8)  # build a forest rooted at the post-E5 position
+    board_before = np.asarray(eng.state.board).copy()
+    last_before, undid_before = eng._last_state, eng._undid
+    hist_before = list(eng._move_history)
+    # black again (out of turn) onto the occupied point -> PASS inserted,
+    # then the move is rejected
+    out = eng.send("play b E5")
+    assert out.startswith("?")
+    np.testing.assert_array_equal(np.asarray(eng.state.board), board_before)
+    assert eng._move_history == hist_before
+    assert eng._undid == undid_before
+    assert eng._last_state is last_before
+    # the forest advanced past the inserted PASS was dropped, so the next
+    # genmove searches the true position (and must not raise)
+    assert eng.trees is None
+    assert eng.send("genmove w").startswith("=")
