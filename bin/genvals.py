@@ -33,6 +33,10 @@ def main():
                    "net the search can trust everywhere)")
     p.add_argument("--max-r", type=int, default=90)
     p.add_argument("--max-turns", type=int, default=90)
+    p.add_argument("--raw-tt-labels", action="store_true",
+                   help="label with raw Tromp-Taylor instead of the "
+                        "dead-group-aware resolved score (the default "
+                        "mirrors the reference's gnugo labels, go.py:512)")
     args = p.parse_args()
 
     from bokego_tpu.cli import load_variables
@@ -47,6 +51,7 @@ def main():
         lambda r: genvals.generate(
             r, sl_vars, rl_vars, args.batch,
             max_turns=args.max_turns, min_r=args.min_r, max_r=args.max_r,
+            resolved_labels=not args.raw_tt_labels,
         )
     )
     written = 0

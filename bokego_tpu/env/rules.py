@@ -279,13 +279,13 @@ def step(state: GoState, action: jnp.ndarray) -> GoState:
     )
 
 
-def score(state: GoState) -> jnp.ndarray:
-    """Tromp-Taylor area score, black minus (white + komi) (go.py:202-218).
+def area_colors(board: jnp.ndarray) -> jnp.ndarray:
+    """int8[81] Tromp-Taylor area assignment per point: BLACK, WHITE, or
+    EMPTY (neutral dame / shared regions).
 
     Empty regions are assigned by reachability: an empty point counts for a
-    color iff it reaches that color and not the other.
+    color iff it reaches that color and not the other (go.py:202-218).
     """
-    board = state.board
     empty = board == EMPTY
     reach_b = board == BLACK
     reach_w = board == WHITE
@@ -308,8 +308,18 @@ def score(state: GoState) -> jnp.ndarray:
     )
     rb, rw, _, _ = jax.lax.while_loop(cond, loop, init)
 
-    b_area = ((board == BLACK) | (empty & rb & ~rw)).sum(dtype=jnp.float32)
-    w_area = ((board == WHITE) | (empty & rw & ~rb)).sum(dtype=jnp.float32)
+    b_pts = (board == BLACK) | (empty & rb & ~rw)
+    w_pts = (board == WHITE) | (empty & rw & ~rb)
+    return jnp.where(b_pts, BLACK, jnp.where(w_pts, WHITE, EMPTY)).astype(
+        jnp.int8
+    )
+
+
+def score(state: GoState) -> jnp.ndarray:
+    """Tromp-Taylor area score, black minus (white + komi) (go.py:202-218)."""
+    colors = area_colors(state.board)
+    b_area = (colors == BLACK).sum(dtype=jnp.float32)
+    w_area = (colors == WHITE).sum(dtype=jnp.float32)
     return b_area - w_area - state.komi
 
 
@@ -536,6 +546,7 @@ score_batch = jax.vmap(score)
 group_info_batch = jax.vmap(group_info)
 move_tables_batch = jax.vmap(move_tables)
 eye_colors_batch = jax.vmap(eye_colors)
+area_colors_batch = jax.vmap(area_colors)
 is_terminal_batch = jax.vmap(is_terminal, in_axes=(0, None))
 
 

@@ -155,7 +155,7 @@ class GTPEngine:
         run = self._jit_run_big if big else self._jit_run
         t0 = time.monotonic()
         self.trees = run(self._next_rng(), self.trees, self.params)
-        jax.block_until_ready(self.trees.visits)
+        jax.block_until_ready(self.trees.n_nodes)
         chunk = BIG_CHUNK if big else ROLLOUT_CHUNK
         self._dispatch_s[chunk] = time.monotonic() - t0
 
@@ -222,7 +222,7 @@ class GTPEngine:
                 break
             trees = self._enqueue_big()
             if pending is not None:
-                jax.block_until_ready(pending.visits)
+                jax.block_until_ready(pending.n_nodes)
                 now = time.monotonic()
                 # steady-state per-chunk time with the tunnel latency hidden
                 self._dispatch_s[BIG_CHUNK] = max(0.01, now - t_block)
@@ -234,7 +234,7 @@ class GTPEngine:
                 t_block = time.monotonic()
             pending = trees
             first = False
-        jax.block_until_ready(self.trees.visits)
+        jax.block_until_ready(self.trees.n_nodes)
         # mop up any leftover budget with small blocking chunks
         while True:
             remaining = seconds - (time.monotonic() - t0)
@@ -430,7 +430,7 @@ class GTPEngine:
                 )
                 scratch = self._jit_compact(scratch)
                 scratch = self._jit_expand_roots(scratch, self.params)
-                jax.block_until_ready(scratch.visits)
+                jax.block_until_ready(scratch.n_nodes)
                 del scratch, ok
         while self.running:
             self._get_input()
@@ -634,7 +634,24 @@ class GTPEngine:
         return True, "\n" + st.render(self.state)
 
     def _cmd_final_score(self, args):
-        score = float(rules.score(self.state))
+        # Dead-group-aware scoring (majority ownership over random
+        # resolutions, bokego_tpu/native): the reference's final_score is
+        # raw Tromp-Taylor (gtp.py:255-263) BUT its match/score oracle was
+        # gnugo's dead-group judgment (go.py:512-526) — this reproduces the
+        # oracle, not the raw count (exact on all 10 golden finals;
+        # tools/measure_scoring_divergence.py).  Falls back to raw
+        # Tromp-Taylor when the native lib is unavailable.
+        try:
+            from bokego_tpu import native
+
+            score = native.resolved_score_raw(
+                np.asarray(self.state.board),
+                int(self.state.ko) if int(self.state.ko) >= 0 else None,
+                int(self.state.turn),
+                float(self.state.komi),
+            )
+        except Exception:
+            score = float(rules.score(self.state))
         if abs(score) < 1e-4:
             return True, "0"
         return True, f"B+{score}" if score > 0 else f"W+{-score}"

@@ -179,20 +179,26 @@ def gtp_match(
                 f"move at move {len(moves) + 1}; scored as a forfeit"
             )
         else:
-            # a truncated game's engines have desynced boards — only the
-            # neutral referee can score it
-            score = black.final_score() if illegal_by is None else ""
             if illegal_by is not None:
                 comment = (
                     f"game truncated: {illegal_by} generated an impossible "
                     f"move at move {len(moves) + 1} (past the move-80 "
-                    f"horizon); scored Tromp-Taylor on the final position"
+                    f"horizon); scored on the final position"
                 )
-            if (not score or score.startswith("?")) and referee is not None:
-                tt = referee.score()  # black minus (white + komi)
+            if referee is not None:
+                # The neutral referee is authoritative: dead-group-aware
+                # majority ownership over random resolutions — the judgment
+                # the reference outsourced to gnugo (go.py:512-526).  Both
+                # engines' own final_score reports are raw Tromp-Taylor and
+                # count dead stones as alive.
+                tt = referee.resolved_score()
                 score = (
                     f"B+{tt:g}" if tt > 0 else f"W+{-tt:g}" if tt < 0 else "0"
                 )
+            else:
+                # no referee and a truncated game's engines have desynced
+                # boards — only an intact game can ask an engine
+                score = black.final_score() if illegal_by is None else "?"
         if sgf_path:
             sgf.write_sgf(
                 moves, sgf_path, komi=komi, black=black.name, white=white.name,

@@ -52,6 +52,15 @@ def _load():
     lib.go_score.restype = ctypes.c_float
     lib.go_replay.argtypes = [i32p, ctypes.c_int32, i8p, c_i32p, c_i32p]
     lib.go_replay.restype = ctypes.c_int
+    lib.go_ownership.argtypes = [
+        i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_uint64, i8p,
+    ]
+    lib.go_resolved_score.argtypes = [
+        i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_uint64,
+    ]
+    lib.go_resolved_score.restype = ctypes.c_float
     _lib = lib
     return lib
 
@@ -106,6 +115,42 @@ class NativeBoard:
 
     def score(self) -> float:
         return float(_load().go_score(self.board, ctypes.c_float(self.komi)))
+
+    def ownership(self, n_playouts: int = 127, max_steps: int = 160,
+                  seed: int = 1) -> np.ndarray:
+        """int8[81] majority point owner (0 neutral / 1 black / 2 white)
+        from ``n_playouts`` random resolutions played to double-pass —
+        the dead-group judgment the reference outsourced to gnugo
+        (go.py:512-526), computed natively."""
+        out = np.zeros(81, np.int8)
+        _load().go_ownership(
+            self.board, self._ko.value, self._turn.value, n_playouts,
+            max_steps, seed, out,
+        )
+        return out
+
+    def resolved_score(self, n_playouts: int = 127, max_steps: int = 160,
+                       seed: int = 1) -> float:
+        """Dead-group-aware area score, black minus (white + komi)."""
+        return float(_load().go_resolved_score(
+            self.board, self._ko.value, self._turn.value,
+            ctypes.c_float(self.komi), n_playouts, max_steps, seed,
+        ))
+
+
+def resolved_score_raw(
+    board: np.ndarray, ko: int | None, turn: int, komi: float,
+    n_playouts: int = 127, max_steps: int = 160, seed: int = 1,
+) -> float:
+    """Dead-group-aware score for a raw position (0/1/2 board array)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libgoboard.so unavailable")
+    return float(lib.go_resolved_score(
+        np.ascontiguousarray(board, np.int8),
+        -1 if ko is None else int(ko), int(turn),
+        ctypes.c_float(komi), n_playouts, max_steps, seed,
+    ))
 
 
 def replay(moves: list[int], komi: float = 5.5) -> NativeBoard:

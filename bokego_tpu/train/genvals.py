@@ -13,8 +13,9 @@ random move fires on the board's own step ``r`` — no per-game Python.
 
 Divergence (documented): the reference computes the label with a truthiness
 bug (``not result`` on a ±1 score, genvals.py:41); we implement the
-documented intent.  Scoring is Tromp-Taylor on device (gnugo optional on
-host).
+documented intent.  Labels default to dead-group-aware resolved scoring
+(env/scoring.py — the native equivalent of the reference's gnugo judgment,
+go.py:512-526); ``resolved_labels=False`` gives raw device Tromp-Taylor.
 """
 
 from __future__ import annotations
@@ -51,9 +52,11 @@ def generate(
     max_turns: int = 90,
     min_r: int = 70,
     max_r: int = 90,
+    resolved_labels: bool = True,
+    resolve_playouts: int = 16,
 ) -> ValueSamples:
     """One batch of labeled positions (gen_game, genvals.py:17-42)."""
-    r_rng, play_rng = jax.random.split(rng)
+    r_rng, play_rng, res_rng = jax.random.split(rng, 3)
     r = jax.random.randint(r_rng, (batch,), min_r, max_r)  # (B,)
 
     states = st.new_game_batch(batch)
@@ -96,7 +99,18 @@ def generate(
         body, (states, done0, rec0, jnp.int32(0)), rngs
     )
 
-    score = rules.score_batch(final)
+    if resolved_labels:
+        # gnugo-style dead-group judgment of each final position (the
+        # reference labels with ``gnu_score``, genvals.py:38-41)
+        from bokego_tpu.env import scoring
+
+        score = jax.vmap(
+            lambda r, s: scoring.resolved_score(
+                r, s, n_playouts=resolve_playouts, num_steps=96
+            )
+        )(jax.random.split(res_rng, batch), final)
+    else:
+        score = rules.score_batch(final)
     black_won = score > 0
     rand_is_black = r % 2 == 0
     val = (black_won == rand_is_black).astype(jnp.int32)

@@ -31,8 +31,16 @@ from bokego_tpu.env import rules, state as st  # noqa: E402
 def main():
     sgf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/data/bokevgnugo"
     step = jax.jit(rules.step)
-    same_winner, same_score, n = 0, 0, 0
-    print(f"{'game':22s} {'RE[] (gnugo)':14s} {'Tromp-Taylor':14s} verdict")
+    from bokego_tpu.env import scoring
+    from bokego_tpu import native
+
+    resolved = jax.jit(lambda r, s: scoring.resolved_score(r, s))
+    stats = {"tt": [0, 0], "resolved": [0, 0], "native": [0, 0]}
+    n = 0
+    print(
+        f"{'game':22s} {'RE[] (gnugo)':13s} {'Tromp-Taylor':13s} "
+        f"{'resolved(dev)':14s} {'resolved(C++)':14s}"
+    )
     for p in sorted(
         glob.glob(os.path.join(sgf_dir, "*.sgf")),
         key=lambda s: int(re.search(r"_(\d+)\.sgf", s).group(1)),
@@ -43,23 +51,30 @@ def main():
         for mv in moves:
             s = step(s, jnp.int32(to_action(mv)))
         assert not bool(s.invalid), f"illegal move replaying {p}"
-        tt = float(rules.score(s))
-        tt_str = f"B+{tt}" if tt > 0 else f"W+{-tt}" if tt < 0 else "0"
+
+        def tag(v):
+            return f"B+{v:g}" if v > 0 else f"W+{-v:g}" if v < 0 else "0"
+
+        got = {
+            "tt": tag(float(rules.score(s))),
+            "resolved": tag(float(resolved(jax.random.PRNGKey(0), s))),
+            "native": tag(native.replay(moves).resolved_score()),
+        }
         n += 1
-        winner_ok = re_tag and re_tag[0] == tt_str[0]
-        same_winner += bool(winner_ok)
-        same_score += re_tag == tt_str
-        verdict = (
-            "exact" if re_tag == tt_str
-            else "same-winner" if winner_ok
-            else "DIFFERENT WINNER"
+        for k, v in got.items():
+            stats[k][0] += bool(re_tag and re_tag[0] == v[0])
+            stats[k][1] += re_tag == v
+        print(
+            f"{os.path.basename(p):22s} {re_tag!s:13s} {got['tt']:13s} "
+            f"{got['resolved']:14s} {got['native']:14s}"
         )
-        print(f"{os.path.basename(p):22s} {re_tag!s:14s} {tt_str:14s} {verdict}")
-    print(
-        f"\n{n} golden finals: winner agreement {same_winner}/{n}, "
-        f"exact score {same_score}/{n} (disagreements = dead groups left on "
-        f"the board that gnugo removes and raw Tromp-Taylor counts as alive)"
-    )
+    print(f"\n{n} golden finals vs gnugo's RE[] (winner / exact):")
+    print(f"  raw Tromp-Taylor        {stats['tt'][0]}/{n} / {stats['tt'][1]}/{n}"
+          "   (dead stones counted as alive)")
+    print(f"  resolved score (device) {stats['resolved'][0]}/{n} / "
+          f"{stats['resolved'][1]}/{n}")
+    print(f"  resolved score (native) {stats['native'][0]}/{n} / "
+          f"{stats['native'][1]}/{n}")
 
 
 if __name__ == "__main__":
