@@ -24,10 +24,13 @@ def main():
     from bokego_tpu.train import data
 
     if args.shards:
-        ds = data.pack_csv(args.csv)
-        paths = data.save_shards(args.out, ds, args.shard_size)
-        kind = "vals" if ds.is_value else "moves"
-        print(f"wrote {len(paths)} shards: {len(ds)} positions ({kind})")
+        # constant-memory streaming pack (23M-row CSVs never materialize
+        # in RAM — round-2 weak #6)
+        paths = data.pack_csv_to_shards(args.csv, args.out, args.shard_size)
+        total = sum(
+            int(__import__("numpy").load(p)["boards"].shape[0]) for p in paths
+        )
+        print(f"wrote {len(paths)} shards: {total} positions")
         return
     ds = data.load_csv(args.csv)
     data.save_npz(args.out, ds)

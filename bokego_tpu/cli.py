@@ -34,10 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast", action="store_true",
                    help="TPU perf mode: Pallas rollout kernel + amortized "
                         "leaf evaluation (eval_every=8)")
-    p.add_argument("--noise", type=float, default=0.0,
+    p.add_argument("--noise", type=float, default=None,
                    help="Dirichlet root-noise weight (mcts.py:41,366-369); "
                         "per-tree noise diversifies --forest root-parallel "
-                        "search (disables subtree reuse)")
+                        "search (fresh noise re-applied at every re-root, "
+                        "so subtree reuse is kept)")
     p.add_argument("--expand-thresh", type=int, default=None,
                    help="visits before leaf expansion (default: reference's "
                         "100, mcts.py:61 — tuned for its ~450-rollout "
@@ -93,16 +94,17 @@ def main(argv=None):
     import jax
 
     on_accel = jax.default_backend() != "cpu"
+    noise = 0.0 if args.noise is None else args.noise
     if args.fast and on_accel:
         scfg = SearchConfig(
             no_sim=not args.simulate,
             use_kernel=not args.simulate,
             eval_every=8,
             max_nodes=512,
-            noise_weight=args.noise,
+            noise_weight=noise,
         )
     else:
-        scfg = SearchConfig(no_sim=not args.simulate, noise_weight=args.noise)
+        scfg = SearchConfig(no_sim=not args.simulate, noise_weight=noise)
     overrides = {}
     if args.strong:
         overrides.update(expand_thresh=16, max_nodes=65536)

@@ -108,6 +108,11 @@ class GTPEngine:
         # _prune, mcts.py:236-255): keeps long --strong games from ever
         # freezing on an exhausted pool (round-2 weak #5)
         self._jit_compact = jax.jit(jax.vmap(tr_mod.compact))
+        self._jit_root_noise = jax.jit(
+            lambda t, r: mcts.add_root_noise(
+                t, r, cfg.noise_weight, cfg.dirichlet_alpha
+            )
+        )
         self._jit_expand_roots = jax.jit(
             lambda t, p: mcts.expand_roots(t, self.ev, p, cfg)
         )
@@ -293,7 +298,7 @@ class GTPEngine:
             # dry run likewise leaves the Game unmutated (go.py:123-158)
             self.state = prev
             raise ValueError("illegal move")
-        if self.trees is not None and self.scfg.noise_weight == 0:
+        if self.trees is not None:
             trees, ok = self._jit_advance(self.trees, jnp.full(
                 (self.forest,), action, jnp.int32))
             if bool(np.asarray(ok).all()):
@@ -305,7 +310,13 @@ class GTPEngine:
                     self.scfg.max_nodes - 2
                 )
                 if room:
-                    self.trees = self._jit_expand_roots(trees, self.params)
+                    trees = self._jit_expand_roots(trees, self.params)
+                    if self.scfg.noise_weight > 0:
+                        # fresh root noise each move (the reference
+                        # re-noises at set_root, mcts.py:153-157) — child
+                        # rows store clean priors so reuse stays exact
+                        trees = self._jit_root_noise(trees, self._next_rng())
+                    self.trees = trees
                     return
         self._rebuild()
 
@@ -430,6 +441,8 @@ class GTPEngine:
                 )
                 scratch = self._jit_compact(scratch)
                 scratch = self._jit_expand_roots(scratch, self.params)
+                if self.scfg.noise_weight > 0:
+                    scratch = self._jit_root_noise(scratch, self._next_rng())
                 jax.block_until_ready(scratch.n_nodes)
                 del scratch, ok
         while self.running:
@@ -638,10 +651,20 @@ class GTPEngine:
         # resolutions, bokego_tpu/native): the reference's final_score is
         # raw Tromp-Taylor (gtp.py:255-263) BUT its match/score oracle was
         # gnugo's dead-group judgment (go.py:512-526) — this reproduces the
-        # oracle, not the raw count (exact on all 10 golden finals;
-        # tools/measure_scoring_divergence.py).  Falls back to raw
-        # Tromp-Taylor when the native lib is unavailable.
+        # oracle, not the raw count (the resolver is exact on all 10 golden
+        # finals; tools/measure_scoring_divergence.py).  Playout resolution
+        # is only meaningful once the game is actually over (a random
+        # continuation of a young position estimates nothing — an empty
+        # board would score as black's first-move advantage instead of
+        # W+komi), so queries before a pass/horizon score raw Tromp-Taylor,
+        # which is also the reference's exact final_score behavior.
+        over = (
+            int(self.state.last_move) == PASS_ACTION
+            or int(self.state.turn) > self.scfg.max_turns
+        )
         try:
+            if not over:
+                raise ValueError("unfinished position: raw TT")
             from bokego_tpu import native
 
             score = native.resolved_score_raw(

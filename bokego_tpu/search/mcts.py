@@ -526,7 +526,15 @@ def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
     # driver (selfplay masks done games; the engine rebuilds on terminal
     # positions), so treat depth-0 as eligible.
     leaf_terminal = jnp.where(kd.depth > 0, kd.leaf_terminal > 0, False)
-    need = (leaf_visits > cfg.expand_thresh) & ~leaf_terminal
+    # ~expanded ALSO guards the kernel's level bound: a descent that
+    # exhausts kernel_levels stops at an INTERNAL node (deep trees at low
+    # expand_thresh) — re-expanding it would allocate duplicate children
+    # and zero its stats row.
+    need = (
+        (leaf_visits > cfg.expand_thresh)
+        & ~leaf_terminal
+        & ~_take_rows(trees.expanded, leaves)
+    )
     any_work = jnp.any(need) | jnp.any(kd.leaf_unvalued > 0)
     if cfg.eval_every > 1:
         any_work = any_work & (jnp.asarray(step_idx) % cfg.eval_every == 0)
@@ -552,6 +560,30 @@ def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
         return jax.vmap(set_leaf_value)(trees, leaves, vals)
 
     return jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
+
+
+def add_root_noise(
+    trees: Tree, rng: jax.Array, weight: float, alpha: float
+) -> Tree:
+    """Mix fresh Dirichlet noise into every root's stored priors
+    (``Go_MCTS._add_noise``, mcts.py:366-369 — the reference mixes into the
+    root's full 81-move dist at ``set_root``).
+
+    Lets a noised forest KEEP its subtree across moves: child rows store
+    clean priors (expansion writes raw probs; only the root row is ever
+    noised), so after :func:`advance_root` the new root's row is clean and
+    re-noising reproduces the reference's set-root-time noise exactly."""
+    batch = trees.root.shape[0]
+    rows = _take_rows(trees.pstats, trees.root)  # (B, 8, 128)
+    noise = jax.random.dirichlet(rng, jnp.full((NN,), alpha), (batch,))
+    mixed = (1.0 - weight) * rows[:, tr_mod.C_PRIOR, :NN] + weight * noise
+    rows = rows.at[:, tr_mod.C_PRIOR, :NN].set(mixed)
+    idx = trees.root[:, None, None, None].astype(jnp.int32)
+
+    def put(p, i, r):
+        return p.at[i[0, 0, 0]].set(r)
+
+    return trees.replace(pstats=jax.vmap(put)(trees.pstats, idx, rows))
 
 
 def pv_walk(tree: Tree, root_actions: jnp.ndarray, depth: int = 8) -> jnp.ndarray:

@@ -257,6 +257,10 @@ def pack_csv(path: str) -> PackedDataset:
             kos.append(-1 if rec[1] in ("", "None") else int(rec[1]))
             lasts.append(int(rec[2]))
             targets.append(rec[3])
+    return _pack_rows(boards, kos, lasts, targets, is_value)
+
+
+def _pack_rows(boards, kos, lasts, targets, is_value) -> PackedDataset:
     b = _encode_boards(boards)
     last = np.array(lasts, np.int16)
     # side to move = opponent of the last stone (process_csv, nnet.py:377)
@@ -267,6 +271,49 @@ def pack_csv(path: str) -> PackedDataset:
     else:
         t = np.array([int(v) for v in targets], np.int32)
     return PackedDataset(b, np.array(kos, np.int16), last, turn, t, is_value)
+
+
+def pack_csv_to_shards(
+    path: str, prefix: str, shard_size: int = 262144
+) -> list[str]:
+    """Stream a reference-layout CSV into ``.pshard.npz`` files at constant
+    memory — the at-scale replacement for :func:`pack_csv`, which buffers
+    the whole file in Python lists (fine at 2M rows, not at the reference's
+    23M, report.pdf p.4 §III.A.1)."""
+    import csv as _csv
+
+    paths = []
+    boards, kos, lasts, targets = [], [], [], []
+    is_value = False
+
+    def flush():
+        nonlocal boards, kos, lasts, targets
+        if not boards:
+            return
+        ds = _pack_rows(boards, kos, lasts, targets, is_value)
+        p = f"{prefix}-{len(paths):05d}.pshard.npz"
+        np.savez_compressed(
+            p, boards=ds.boards, ko=ds.ko, last=ds.last, turn=ds.turn,
+            targets=ds.targets, is_value=np.array(ds.is_value),
+        )
+        paths.append(p)
+        boards, kos, lasts, targets = [], [], [], []
+
+    with open(path) as f:
+        reader = _csv.reader(f)
+        header = next(reader)
+        is_value = header[-1].strip().lower() == "val"
+        for rec in reader:
+            if not rec:
+                continue
+            boards.append(rec[0])
+            kos.append(-1 if rec[1] in ("", "None") else int(rec[1]))
+            lasts.append(int(rec[2]))
+            targets.append(rec[3])
+            if len(boards) >= shard_size:
+                flush()
+    flush()
+    return paths
 
 
 def save_shards(prefix: str, ds: PackedDataset, shard_size: int = 262144) -> list[str]:

@@ -4,17 +4,33 @@
 The reference's headline capability is a 10-0 match vs GNU Go 3.8
 (report.pdf §III.C, played through the GTP_match harness,
 /root/reference/bokego/gtp.py:533-604).  This container ships no gnugo
-binary, so per VERDICT.md round-1 item 2 the opponent is the reference
-engine itself (torch, CPU): its shipped RL policy `policy_17.pt` plus OUR
-trained ValueNet exported back to torch format (the reference's own value
-net was never shipped — .MISSING_LARGE_BLOBS), running the reference's
-default value-leaf-eval config.  Both engines get equal wall-clock per move.
+binary, so per VERDICT round 1 the opponent is the reference engine itself
+(torch, CPU): its shipped RL policy ``policy_17.pt`` plus OUR trained
+ValueNet exported back to torch format (the reference's own value net was
+never shipped — .MISSING_LARGE_BLOBS), identical nets on both sides.
+
+Round-3 design (VERDICT round 2 item 1 — a CONTROLLED match):
+
+* The reference runs at a FIXED ROLLOUT budget (tools/ref_engine.py), not
+  wall clock, so host CPU contention can never weaken it; its default
+  pondering stays ON, granting it extra rollouts during our think time.
+  The budget (default 2500/move) exceeds what it completes in 5 s of idle
+  CPU (454 rollouts/s, PERF.md).
+* bokego-tpu runs TIMED (default 2.5 s/move — HALF the round-2 budget);
+  TPU contention from anything else running only weakens us.
+* Every confound therefore biases AGAINST bokego-tpu.
+* Colors alternate; the neutral referee validates each move, forfeits
+  mid-game desyncs, and scores finished games with the dead-group
+  resolver (go_ownership — the gnugo judgment).
 
 Results append to a tally file after every game (restartable).
 
-Usage: python tools/strength_match.py [n_games] [sec_per_move] [out_dir]
+Usage: python tools/strength_match.py [n_games] [out_dir]
+           [--ours-time 2.5] [--ref-rollouts 2500]
 """
 
+import argparse
+import math
 import os
 import sys
 import time
@@ -28,21 +44,29 @@ REF = "/root/reference"
 
 
 def main():
-    n_games = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sec = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
-    out_dir = sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, "data", "matches")
-    os.makedirs(out_dir, exist_ok=True)
-    tally_path = os.path.join(out_dir, "tally.txt")
+    p = argparse.ArgumentParser()
+    p.add_argument("n_games", type=int, nargs="?", default=50)
+    p.add_argument("out_dir", nargs="?",
+                   default=os.path.join(REPO, "data", "matches_r3"))
+    p.add_argument("--ours-time", type=float, default=2.5)
+    p.add_argument("--ref-rollouts", type=int, default=2500)
+    p.add_argument("--ours-extra", default="--strong",
+                   help="extra boke.py flags for our engine")
+    args = p.parse_args()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    tally_path = os.path.join(args.out_dir, "tally.txt")
 
     ours = (
         f"env JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp "
         f"python {REPO}/boke.py -p {REPO}/data/weights/policy_17_flax "
-        f"-v {REPO}/data/weights/value_r2 -t {sec} --strong"
+        f"-v {REPO}/data/weights/value_r2 -t {args.ours_time} "
+        f"{args.ours_extra}"
     )
     ref = (
-        f"env PYTHONPATH={REF} python {REF}/boke.py "
-        f"-p {REF}/data/weights/policy_17.pt "
-        f"-v {REPO}/data/weights/value_r2.pt -t {sec}"
+        f"python {REPO}/tools/ref_engine.py {args.ref_rollouts} "
+        f"{REF}/data/weights/policy_17.pt "
+        f"{REPO}/data/weights/value_r2.pt"
     )
 
     done = 0
@@ -50,9 +74,9 @@ def main():
         with open(tally_path) as f:
             done = sum(1 for line in f if line.startswith("game"))
 
-    for i in range(done, n_games):
+    for i in range(done, args.n_games):
         we_are_black = i % 2 == 0
-        sgf_path = os.path.join(out_dir, f"match_{i + 1}.sgf")
+        sgf_path = os.path.join(args.out_dir, f"match_{i + 1}.sgf")
         t0 = time.monotonic()
         black_won = gtp_match(
             ours if we_are_black else ref,
@@ -74,8 +98,14 @@ def main():
     with open(tally_path) as f:
         for line in f:
             wins += " WON " in line
-    print(f"\nbokego-tpu {wins}-{n_games - wins} vs reference engine "
-          f"({sec}s/move, alternating colors)")
+    n = args.n_games
+    pw = wins / n
+    # exact binomial would be better; Wilson is fine for a progress print
+    ci = 1.96 * math.sqrt(max(pw * (1 - pw), 1e-9) / n)
+    print(f"\nbokego-tpu {wins}-{n - wins} vs reference engine "
+          f"(ours {args.ours_time}s/move timed; reference "
+          f"{args.ref_rollouts} rollouts/move fixed + pondering; "
+          f"winrate {pw:.3f} +/- {ci:.3f})")
 
 
 if __name__ == "__main__":
