@@ -664,16 +664,15 @@ def _simulate(
     def probs_fn(states):
         return ev.policy_probs(params, states)
 
-    traj = po.playout(
+    final = po.playout_final(
         rng,
         probs_fn,
         probs_fn,
         leaf_states,
-        num_steps=cfg.max_turns + 1,
         max_turns=cfg.max_turns,
         avoid_eyes=True,
     )
-    r_black = po.rewards(traj.final)
+    r_black = po.rewards(final)
     # invert when white to move at the leaf (mcts.py:199-205)
     return jnp.where(leaf_states.turn % 2 == 0, r_black, -r_black)
 

@@ -87,6 +87,45 @@ def playout(
     return Trajectory(states=traj_states, actions=traj_actions, final=final)
 
 
+def playout_final(
+    rng: jax.Array,
+    probs_fn_even: Callable[[jnp.ndarray], jnp.ndarray],
+    probs_fn_odd: Callable[[jnp.ndarray], jnp.ndarray],
+    states: GoState,
+    max_turns: int,
+    avoid_eyes: bool = False,
+) -> GoState:
+    """Like :func:`playout` but returns ONLY the final state, early-exiting
+    once every board is terminal (``lax.while_loop``).
+
+    This is the simulation-mode hot path (``MCTS._simulate``,
+    mcts.py:195-206): leaves sit deep in the game, so the scan variant's
+    fixed ``max_turns + 1`` ply budget wastes most of its policy forwards
+    on already-finished boards.  No trajectory is stacked.
+    """
+    done0 = rules.is_terminal_batch(states, max_turns)
+
+    def cond(carry):
+        step_i, _, _, done = carry
+        return (step_i < max_turns + 2) & ~jnp.all(done)
+
+    def body(carry):
+        step_i, r, s, done = carry
+        r, sub = jax.random.split(r)
+        probs = jax.lax.cond(
+            step_i % 2 == 0, lambda x: probs_fn_even(x), lambda x: probs_fn_odd(x), s
+        )
+        actions = select_moves(sub, probs, s, avoid_eyes, done)
+        s_next = rules.step_batch(s, actions)
+        done_next = done | rules.is_terminal_batch(s_next, max_turns)
+        return step_i + 1, r, s_next, done_next
+
+    _, _, final, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), rng, states, done0)
+    )
+    return final
+
+
 def rewards(final: GoState) -> jnp.ndarray:
     """(B,) ±1: +1 iff black wins by Tromp-Taylor (``Go_MCTS.reward``,
     mcts.py:330-338, gnugo-less branch)."""

@@ -366,10 +366,19 @@ class ShardedDataset:
     def batches(
         self, batch_size: int, rng: np.random.Generator, augment: bool = True
     ) -> Iterator[tuple[jnp.ndarray, np.ndarray]]:
-        for si in rng.permutation(len(self.paths)):
-            yield from load_shard(self.paths[int(si)]).batches(
-                batch_size, rng, augment
-            )
+        # double-buffered shard loading: decompress shard i+1 on a worker
+        # thread while the device trains on shard i (np.load decompress is
+        # ~0.5-1s per 256k shard — pure stall otherwise)
+        from concurrent.futures import ThreadPoolExecutor
+
+        order = [self.paths[int(si)] for si in rng.permutation(len(self.paths))]
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(load_shard, order[0])
+            for i, _ in enumerate(order):
+                shard = nxt.result()
+                if i + 1 < len(order):
+                    nxt = pool.submit(load_shard, order[i + 1])
+                yield from shard.batches(batch_size, rng, augment)
 
 
 def load_streaming(path: str):

@@ -72,6 +72,52 @@ def trajectory_to_rows(traj: po.Trajectory) -> list[tuple[str, int | None, int, 
     return rows
 
 
+def trajectory_to_packed(traj: po.Trajectory, augment: bool = True):
+    """Trajectory -> :class:`PackedDataset`, fully vectorized.
+
+    The at-scale path (reference: 23M pairs, report.pdf p.4 §III.A.1):
+    no per-row python, no CSV intermediate — (T, B) arrays are masked,
+    flattened, and (optionally) materialized under all 8 dihedral
+    symmetries.  Unlike the CSV schema (which derives side-to-move from the
+    color at ``last``, nnet.py:377, and so must drop positions following a
+    pass), the packed form stores turn parity explicitly and keeps them.
+    """
+    from bokego_tpu.train.data import (
+        PackedDataset, d4_apply_boards, d4_apply_moves,
+    )
+
+    boards = np.asarray(traj.states.board).reshape(-1, NN)
+    kos = np.asarray(traj.states.ko).reshape(-1)
+    lasts = np.asarray(traj.states.last_move).reshape(-1)
+    turns = np.asarray(traj.states.turn).reshape(-1)
+    actions = np.asarray(traj.actions).reshape(-1)
+
+    keep = actions < NN  # real moves only (pass/finished are not SL targets)
+    boards = boards[keep].astype(np.uint8)
+    kos = kos[keep].astype(np.int16)
+    lasts = lasts[keep].astype(np.int16)
+    turns = (turns[keep] % 2).astype(np.int8)
+    actions = actions[keep].astype(np.int32)
+
+    if not augment:
+        return PackedDataset(boards, kos, lasts, turns, actions, False)
+
+    b8, k8, l8, t8, a8 = [], [], [], [], []
+    for k in range(8):
+        b8.append(d4_apply_boards(boards, k))
+        k8.append(np.where(kos < 0, kos, d4_apply_moves(kos, k)).astype(np.int16))
+        # last: -1 (none) and 81 (pass) are fixed points of the action map
+        l8.append(
+            np.where((lasts < 0) | (lasts >= NN), lasts,
+                     d4_apply_moves(lasts, k)).astype(np.int16))
+        t8.append(turns)
+        a8.append(d4_apply_moves(actions, k).astype(np.int32))
+    return PackedDataset(
+        np.concatenate(b8), np.concatenate(k8), np.concatenate(l8),
+        np.concatenate(t8), np.concatenate(a8), False,
+    )
+
+
 def write_csv(path: str, rows, augment: bool = True, header: bool = True):
     """Append policy rows (board, ko, last, move), optionally ×8 dihedral."""
     import os

@@ -133,24 +133,42 @@ def train(
 
     rng = np.random.default_rng(seed)
     epoch = start_epoch
+    t_all = time.monotonic()
+    total_steps = 0
     for _ in range(epochs):
         t0 = time.monotonic()
-        losses, running, count = [], 0.0, 0
+        losses, count = [], 0
+        # running loss stays ON DEVICE between logs: float(loss) every step
+        # would sync the pipeline and cap throughput at dispatch latency
+        running = jnp.zeros(())
         for fts, targets in dataset.batches(batch_size, rng):
             variables, opt_state, loss = step(
                 variables, opt_state, jnp.asarray(fts), jnp.asarray(targets)
             )
-            running += float(loss)
+            running = running + loss
             count += 1
             if count % log_every == 0:
-                log_fn(f"epoch {epoch + 1} step {count}: loss {running:.4f}")
-                losses.append(running)
-                running = 0.0
+                r = float(running)
+                log_fn(f"epoch {epoch + 1} step {count}: loss {r:.4f}")
+                losses.append(r)
+                running = jnp.zeros(())
+        jax.block_until_ready(variables["params"])
         epoch += 1
+        total_steps += count
         dt = time.monotonic() - t0
-        log_fn(f"epoch {epoch} done in {dt:.1f}s ({count} steps)")
+        pos_s = count * batch_size / dt
+        log_fn(
+            f"epoch {epoch} done in {dt:.1f}s ({count} steps, "
+            f"{1e3 * dt / max(count, 1):.1f} ms/step, {pos_s:,.0f} positions/s)"
+        )
         if stats_path:
             with open(stats_path, "a+") as f:
                 f.write(f"Epoch: {epoch}\n")
                 f.write(",".join(f"{x:.3f}" for x in losses) + "\n")
+    dt_all = time.monotonic() - t_all
+    if total_steps and epochs > 1:
+        log_fn(
+            f"{epochs} epochs in {dt_all:.1f}s: "
+            f"{total_steps * batch_size / dt_all:,.0f} positions/s overall"
+        )
     return TrainState(variables=variables, opt_state=opt_state, epoch=epoch)

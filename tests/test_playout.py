@@ -92,3 +92,25 @@ def test_done_games_keep_passing():
     np.testing.assert_array_equal(
         np.asarray(traj.final.board)[0], np.asarray(states.board)[0]
     )
+
+
+def test_playout_final_terminates_and_matches_scan_semantics():
+    """playout_final reaches a terminal batch (every board done) and agrees
+    with the scan variant's terminality rules; from a mid-game start it
+    must exit well before the full ply budget (early exit is the point)."""
+    B = 8
+    states = st.new_game_batch(B)
+    # advance every board ~60 plies first (deep-leaf shape of sim mode)
+    traj = po.playout(
+        jax.random.PRNGKey(2), uniform_probs, uniform_probs, states,
+        num_steps=60, max_turns=80,
+    )
+    final = po.playout_final(
+        jax.random.PRNGKey(3), uniform_probs, uniform_probs, traj.final,
+        max_turns=80,
+    )
+    assert bool(jnp.all(rules.is_terminal_batch(final, 80)))
+    # rewards are +/-1 and consistent with the final score sign
+    r = np.asarray(po.rewards(final))
+    s = np.asarray(rules.score_batch(final))
+    np.testing.assert_array_equal(r, np.where(s > 0, 1.0, -1.0))

@@ -204,6 +204,47 @@ def test_gendata_policy_rows(tmp_path):
     assert len(ds) == 8 * len(rows)
 
 
+def test_trajectory_to_packed_matches_csv_path(tmp_path):
+    """The vectorized packed path agrees with the CSV path row-for-row
+    (on the rows the CSV schema can represent — it drops post-pass
+    positions, the packed form keeps them)."""
+    from bokego_tpu.train import gendata
+
+    variables = init_policy(jax.random.PRNGKey(0))
+    traj = gendata.generate(jax.random.PRNGKey(1), variables, batch=4,
+                            max_turns=16)
+    rows = gendata.trajectory_to_rows(traj)
+    p = os.path.join(tmp_path, "pol.csv")
+    gendata.write_csv(p, rows, augment=False)
+    via_csv = data.pack_csv(p)
+
+    packed = gendata.trajectory_to_packed(traj, augment=False)
+    import numpy as np
+
+    keep = np.asarray(packed.last) != 81  # rows the csv schema kept
+    assert keep.sum() == len(via_csv)
+    np.testing.assert_array_equal(packed.boards[keep], via_csv.boards)
+    np.testing.assert_array_equal(packed.ko[keep], via_csv.ko)
+    np.testing.assert_array_equal(packed.last[keep], via_csv.last)
+    np.testing.assert_array_equal(packed.turn[keep], via_csv.turn)
+    np.testing.assert_array_equal(packed.targets[keep], via_csv.targets)
+
+    # x8 augmentation: every symmetry's rows featurize to the same planes
+    # as transforming the k=0 features directly (equivariance, and the
+    # move targets remap consistently)
+    aug = gendata.trajectory_to_packed(traj, augment=True)
+    n = len(packed)
+    assert len(aug) == 8 * n
+    for k in (1, 5):
+        sel = np.arange(k * n, k * n + 3)
+        fts_k, tgt_k = aug._featurize(sel, None)
+        fts_0, tgt_0 = packed._featurize(np.arange(3), None)
+        np.testing.assert_allclose(
+            np.asarray(fts_k), data.d4_apply_planes(np.asarray(fts_0), k),
+            atol=1e-6)
+        np.testing.assert_array_equal(tgt_k, data.d4_apply_moves(tgt_0, k))
+
+
 def test_alphazero_loop_smoke():
     """Closed AZ loop: search self-play targets -> one update each net."""
     from bokego_tpu.config import SearchConfig

@@ -39,7 +39,7 @@ OPEN_PLIES = 6  # policy-sampled opening moves: PUCT with zero noise is
 
 
 def play(rng, params, ev, batch, cfg_a, cfg_b, ra, rb, a_is_black,
-         open_plies: int = OPEN_PLIES):
+         open_plies: int = OPEN_PLIES, resolved: bool = False):
     from bokego_tpu.search.playout import select_moves
 
     search_a = jax.jit(lambda r, s, p: mcts.search(r, s, ev, p, cfg_a, ra)[0])
@@ -65,7 +65,18 @@ def play(rng, params, ev, batch, cfg_a, cfg_b, ra, rb, a_is_black,
         actions = jnp.where(done, PASS_ACTION, actions)
         states = rules.step_batch(states, actions)
         done = done | rules.is_terminal_batch(states, N_MOVES)
-    scores = np.asarray(rules.score_batch(states))
+    if resolved:
+        # dead-group-aware judgment of the finals (the reference's matches
+        # were gnugo-scored, go.py:512-526; env/scoring.py is the analog)
+        from bokego_tpu.env import scoring
+
+        rng, sr = jax.random.split(rng)
+        scores = np.asarray(jax.jit(jax.vmap(
+            lambda r, s: scoring.resolved_score(r, s, n_playouts=63,
+                                                num_steps=96)
+        ))(jax.random.split(sr, batch), states))
+    else:
+        scores = np.asarray(rules.score_batch(states))
     return scores > 0 if a_is_black else scores < 0
 
 
@@ -80,6 +91,8 @@ def main():
     p.add_argument("--policy", default="data/weights/policy_17_flax")
     p.add_argument("--value", default="data/weights/value_r2")
     p.add_argument("--seed", type=int, default=5)
+    p.add_argument("--resolved", action="store_true",
+                   help="dead-group-aware scoring of the finals")
     args = p.parse_args()
 
     cfg_a = SearchConfig(**ast.literal_eval(args.cfg_a))
@@ -96,7 +109,8 @@ def main():
     # same rng for both directions => identical sampled openings, colors
     # swapped (paired comparison)
     for a_is_black in (True, False):
-        won = play(rng, params, ev, args.games, cfg_a, cfg_b, ra, rb, a_is_black)
+        won = play(rng, params, ev, args.games, cfg_a, cfg_b, ra, rb,
+                   a_is_black, resolved=args.resolved)
         wins += int(won.sum())
         total += len(won)
         print(f"A as {'B' if a_is_black else 'W'}: {int(won.sum())}/{len(won)}"

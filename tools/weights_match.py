@@ -47,7 +47,7 @@ def load(path: str, kind: str):
 
 
 def play(rng, params_a, params_b, ev, batch, cfg, n_rollouts, a_is_black,
-         open_plies: int = OPEN_PLIES):
+         open_plies: int = OPEN_PLIES, resolved: bool = False):
     """One batch of games, A as black iff a_is_black. Returns bool[batch]
     = A won (Tromp-Taylor)."""
     from bokego_tpu.search.playout import select_moves
@@ -72,16 +72,28 @@ def play(rng, params_a, params_b, ev, batch, cfg, n_rollouts, a_is_black,
         actions = jnp.where(done, PASS_ACTION, actions)
         states = rules.step_batch(states, actions)
         done = done | rules.is_terminal_batch(states, N_MOVES)
-    scores = np.asarray(rules.score_batch(states))
+    if resolved:
+        # dead-group-aware judgment of the finals (the reference's matches
+        # were gnugo-scored, go.py:512-526; env/scoring.py is the analog)
+        from bokego_tpu.env import scoring
+
+        rng, sr = jax.random.split(rng)
+        scores = np.asarray(jax.jit(jax.vmap(
+            lambda r, s: scoring.resolved_score(r, s, n_playouts=63,
+                                                num_steps=96)
+        ))(jax.random.split(sr, batch), states))
+    else:
+        scores = np.asarray(rules.score_batch(states))
     return scores > 0 if a_is_black else scores < 0
 
 
-def match(rng, params_a, params_b, ev, games_per_side, cfg, n_rollouts):
+def match(rng, params_a, params_b, ev, games_per_side, cfg, n_rollouts,
+          resolved: bool = False):
     wins, total = 0, 0
     for a_is_black in (True, False):
         rng, sub = jax.random.split(rng)
         won = play(sub, params_a, params_b, ev, games_per_side, cfg,
-                   n_rollouts, a_is_black)
+                   n_rollouts, a_is_black, resolved=resolved)
         wins += int(won.sum())
         total += len(won)
     return wins, total
@@ -98,6 +110,8 @@ def main():
     p.add_argument("--expand-thresh", type=int, default=16)
     p.add_argument("--max-nodes", type=int, default=512)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--resolved", action="store_true",
+                   help="dead-group-aware scoring of the finals")
     args = p.parse_args()
 
     params_a = {"policy": load(args.a_policy, "policy"),
@@ -109,7 +123,8 @@ def main():
                        max_nodes=args.max_nodes, no_sim=True)
     t0 = time.monotonic()
     wins, total = match(jax.random.PRNGKey(args.seed), params_a, params_b,
-                        ev, args.games, cfg, args.rollouts)
+                        ev, args.games, cfg, args.rollouts,
+                        resolved=args.resolved)
     p_hat = wins / total
     ci = 1.96 * math.sqrt(p_hat * (1 - p_hat) / total)
     print(f"A won {wins}/{total} = {p_hat:.3f} +- {ci:.3f} "
