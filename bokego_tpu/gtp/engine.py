@@ -471,8 +471,13 @@ class GTPEngine:
         if self._conn is not None:
             self._conn.send(text)
         else:
-            print(text, end="")
-            sys.stdout.flush()
+            try:
+                print(text, end="")
+                sys.stdout.flush()
+            except BrokenPipeError:
+                # the harness/GUI on the other end of stdout is gone —
+                # shut down quietly instead of crashing mid-loop
+                self.running = False
 
     def _get_input(self):
         self._input[0] = None

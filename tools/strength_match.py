@@ -74,16 +74,29 @@ def main():
         with open(tally_path) as f:
             done = sum(1 for line in f if line.startswith("game"))
 
-    for i in range(done, args.n_games):
+    crashes = 0
+    i = done
+    while i < args.n_games:
         we_are_black = i % 2 == 0
         sgf_path = os.path.join(args.out_dir, f"match_{i + 1}.sgf")
         t0 = time.monotonic()
-        black_won = gtp_match(
-            ours if we_are_black else ref,
-            ref if we_are_black else ours,
-            sgf_path=sgf_path,
-            max_moves=170,
-        )
+        try:
+            black_won = gtp_match(
+                ours if we_are_black else ref,
+                ref if we_are_black else ours,
+                sgf_path=sgf_path,
+                max_moves=170,
+            )
+            crashes = 0
+        except Exception as e:
+            # a dead engine/pipe voids the game: log it (stderr only — the
+            # tally counts completed games) and replay the same slot
+            crashes += 1
+            print(f"game {i + 1} VOIDED by harness error ({e!r}), "
+                  f"retry {crashes}/5", file=sys.stderr, flush=True)
+            if crashes >= 5:
+                raise
+            continue
         we_won = black_won == we_are_black
         line = (
             f"game {i + 1}: bokego-tpu as {'B' if we_are_black else 'W'} "
@@ -93,6 +106,7 @@ def main():
         print(line, flush=True)
         with open(tally_path, "a") as f:
             f.write(line + "\n")
+        i += 1
 
     wins = 0
     with open(tally_path) as f:
