@@ -320,3 +320,92 @@ def test_long_game_never_stalls_on_pool():
         if int(eng.state.turn) > 78:
             break
     assert move >= 20  # the game actually ran deep enough to matter
+
+
+# ---------------------------------------------------------------------------
+# Root noise with subtree reuse (round 3) and the device-side PV walk
+
+
+def test_add_root_noise_touches_only_root_priors():
+    """Noise mixes Dirichlet into the ROOT row's priors and nothing else —
+    child rows keep clean priors so re-rooting + re-noising reproduces the
+    reference's set-root-time noise (Go_MCTS._add_noise, mcts.py:366-369)."""
+    from bokego_tpu.search import tree as tr
+
+    states = list(random_game_states(3, n_moves=10, pass_prob=0.0))
+    s, _ = states[-1]
+    cfg = SearchConfig(expand_thresh=2, no_sim=True, max_nodes=256)
+    ev = fake_evaluator()
+    batch = jax.tree.map(lambda x: x[None], s)
+    rng = jax.random.PRNGKey(3)
+    trees = mcts.run_search(
+        rng, mcts.init_trees(rng, batch, ev, None, cfg), ev, None, cfg, 40
+    )
+    w, alpha = 0.25, 0.1
+    noised = mcts.add_root_noise(trees, jax.random.PRNGKey(9), w, alpha)
+
+    before = np.asarray(trees.pstats)
+    after = np.asarray(noised.pstats)
+    root = int(trees.root[0])
+    # every non-root slot is bit-identical
+    mask = np.ones(before.shape[1], bool)
+    mask[root] = False
+    np.testing.assert_array_equal(after[0, mask], before[0, mask])
+    # root row: priors mixed toward a distribution (total mass (1-w)+w),
+    # all other channels untouched
+    pb, pa = before[0, root], after[0, root]
+    for ch in range(pb.shape[0]):
+        if ch == tr.C_PRIOR:
+            continue
+        np.testing.assert_array_equal(pa[ch], pb[ch])
+    assert not np.array_equal(pa[tr.C_PRIOR, :NN], pb[tr.C_PRIOR, :NN])
+    np.testing.assert_allclose(
+        pa[tr.C_PRIOR, :NN].sum(),
+        (1 - w) * pb[tr.C_PRIOR, :NN].sum() + w,
+        rtol=1e-5,
+    )
+    # deterministic in the key
+    again = mcts.add_root_noise(trees, jax.random.PRNGKey(9), w, alpha)
+    np.testing.assert_array_equal(np.asarray(again.pstats), after)
+
+
+def test_pv_walk_matches_host_walk():
+    """pv_walk follows most-visited children exactly like a host-side walk
+    over the pulled stats pool (the analyze streamer's old implementation)."""
+    from bokego_tpu.search import tree as tr
+
+    states = list(random_game_states(11, n_moves=8, pass_prob=0.0))
+    s, _ = states[-1]
+    cfg = SearchConfig(expand_thresh=1, no_sim=True, max_nodes=512)
+    ev = fake_evaluator()
+    batch = jax.tree.map(lambda x: x[None], s)
+    rng = jax.random.PRNGKey(4)
+    trees = mcts.run_search(
+        rng, mcts.init_trees(rng, batch, ev, None, cfg), ev, None, cfg, 120
+    )
+    one = jax.tree.map(lambda x: x[0], trees)
+    pst = np.asarray(one.pstats)
+    root = int(one.root)
+    visits = pst[root, tr.C_N, :NN]
+    top = np.argsort(-visits)[:3].astype(np.int32)
+    depth = 6
+    got = np.asarray(mcts.pv_walk(one, jnp.asarray(top), depth=depth))
+
+    for k, a0 in enumerate(top):
+        cur = int(pst[root, tr.C_CHILD, a0])
+        want = []
+        for _ in range(depth):
+            if cur < 0:
+                want.append(-1)
+                continue
+            row = pst[cur]
+            ch, n = row[tr.C_CHILD, :NN], row[tr.C_N, :NN]
+            n = np.where(ch >= 0, n, -1.0)
+            a = int(np.argmax(n))
+            if ch[a] < 0 or n[a] <= 0:
+                cur = -1
+                want.append(-1)
+            else:
+                want.append(a)
+                cur = int(ch[a])
+        np.testing.assert_array_equal(got[k], np.array(want, np.int32))

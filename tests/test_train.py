@@ -262,3 +262,26 @@ def test_alphazero_loop_smoke():
     a = jax.tree.leaves(pv["params"])[0]
     b = jax.tree.leaves(state.policy["params"])[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_pack_csv_to_shards_matches_pack_csv(tmp_path):
+    """The constant-memory streaming packer produces the same packed rows
+    as the whole-file pack_csv, just split into shards."""
+    sl_vars = init_policy(jax.random.PRNGKey(0))
+    samples = genvals.generate(
+        jax.random.PRNGKey(2), sl_vars, sl_vars, batch=4,
+        max_turns=14, min_r=4, max_r=8,
+    )
+    p = os.path.join(tmp_path, "vals.csv")
+    genvals.write_csv(p, genvals.samples_to_rows(samples))
+    whole = data.pack_csv(p)
+    paths = data.pack_csv_to_shards(p, os.path.join(tmp_path, "sh"),
+                                    shard_size=7)
+    parts = [data.load_shard(q) for q in paths]
+    assert len(paths) > 1 and all(q.endswith(".pshard.npz") for q in paths)
+    for field in ("boards", "ko", "last", "turn", "targets"):
+        np.testing.assert_array_equal(
+            np.concatenate([getattr(q, field) for q in parts]),
+            getattr(whole, field),
+        )
+    assert all(q.is_value == whole.is_value for q in parts)
