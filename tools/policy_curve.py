@@ -70,22 +70,30 @@ def main():
     p.add_argument("--out",
                    default=os.path.join(REPO, "data/training_logs/policy_curve.txt"))
     p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--single", default=None,
+                   help="evaluate ONE policy checkpoint instead of a pool")
     args = p.parse_args()
 
     from bokego_tpu.cli import load_variables
 
     opp = load_variables(args.opponent, "policy")
-    gens = sorted(glob.glob(os.path.join(args.pool, "policy_*")),
-                  key=lambda s: int(s.rsplit("_", 1)[1]))
+    if args.single:
+        gens = [args.single]
+    else:
+        gens = sorted(glob.glob(os.path.join(args.pool, "policy_*")),
+                      key=lambda s: int(s.rsplit("_", 1)[1]))
     play_jit = jax.jit(play_side, static_argnums=(3, 4))
 
     lines = [f"# winrate vs FIXED policy_17 (converted), {2 * args.games} "
              f"raw-policy games/gen, resolved scoring, seed {args.seed}"]
     print(lines[0])
     for path in gens:
-        gen = int(path.rsplit("_", 1)[1])
+        try:
+            gen = int(path.rsplit("_", 1)[1])
+        except ValueError:
+            gen = os.path.basename(path.rstrip("/"))  # --single by name
         mine = load_variables(path, "policy")
-        rng = jax.random.PRNGKey(args.seed + gen)
+        rng = jax.random.PRNGKey(args.seed + (gen if isinstance(gen, int) else 0))
         t0 = time.monotonic()
         wins, total = 0, 0
         for i_am_black in (True, False):
