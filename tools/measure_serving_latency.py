@@ -36,6 +36,9 @@ def main():
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--strong", action="store_true",
                    help="use the --strong serving config (65536-node pool)")
+    p.add_argument("--forest", type=int, default=1,
+                   help="root-parallel trees (rollouts/s aggregates over "
+                        "the forest — the served Forest configuration)")
     args = p.parse_args()
 
     from bokego_tpu.cli import load_variables
@@ -52,14 +55,15 @@ def main():
     scfg = (SearchConfig(expand_thresh=16, max_nodes=65536)
             if args.strong else SearchConfig())
     eng = GTPEngine(net_evaluator(has_value=True), params, scfg,
-                    EngineConfig(pondering=False, time_lim=args.time))
+                    EngineConfig(pondering=False, time_lim=args.time,
+                                 forest_size=args.forest))
     eng._ensure_tree()
     # warm every jitted path the timed loop hits (compiles are ~20-40s)
     for big in (True, True, False, False):
         eng._dispatch(big)
 
     print(f"config: {'strong' if args.strong else 'default'}, "
-          f"{args.time}s/trial")
+          f"forest {args.forest}, {args.time}s/trial")
     for mode in ("timed-pipelined", "count-blocking"):
         rates = []
         for t in range(args.trials):
