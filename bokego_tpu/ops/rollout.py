@@ -240,12 +240,12 @@ def descend_backprop(
         num_scalar_prefetch=1,
         grid=(B // tb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((levels, tb, CH_PAD, LANE_PAD), jnp.float32),
@@ -338,10 +338,10 @@ def write_rows(
         num_scalar_prefetch=2,
         grid=(B // tb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tb, CH_PAD, LANE_PAD), lambda i, *_: (i, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.SemaphoreType.DMA((tb,))],
     )
     kernel = functools.partial(_write_rows_kernel, tb=tb, interpret=interpret)
