@@ -5,23 +5,67 @@ v5e-8 (625 games/min/chip) at 400 rollouts/move with exact rule parity.
 ``vs_baseline`` is measured games/min/chip divided by 625.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Hardened against backend outages (round-3 lesson: BENCH_r03.json was
+rc=1 because the axon TPU plugin wedged at snapshot time and the old
+bench had no retry/fallback):
+
+1. The TPU backend is probed in a *subprocess* with a hard timeout —
+   a wedged PJRT init can't be interrupted in-process, but a child can
+   be killed.  Three attempts with backoff.
+2. If the TPU never comes up, the bench falls back to the CPU backend
+   (selected via ``jax.config.update`` — the env-var route is too late
+   because sitecustomize pre-registers the plugin) and reports a small
+   CPU-scale number with ``"backend": "cpu-fallback"`` in the metric.
+3. Any unrecoverable failure still prints ONE structured JSON line
+   ``{"metric": ..., "error": ...}`` and exits 0 so the driver's capture
+   is never an opaque rc=1 traceback.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
+PROBE_TIMEOUT_S = 240  # first TPU compile/connect can be slow
+PROBE_ATTEMPTS = 3
 
-def main():
+
+def _probe_tpu() -> bool:
+    """Return True iff the TPU backend initializes in a killable child."""
+    code = (
+        "import jax; d=jax.devices(); "
+        "import sys; sys.exit(0 if d and d[0].platform != 'cpu' else 3)"
+    )
+    for attempt in range(PROBE_ATTEMPTS):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=PROBE_TIMEOUT_S,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(5 * (attempt + 1))
+    return False
+
+
+def run_bench(on_tpu: bool) -> dict:
     import jax
+
+    if not on_tpu:
+        # Env-var JAX_PLATFORMS is overridden by the axon sitecustomize;
+        # the config route wins as long as no backend is initialized yet.
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-    # Scale the measurement to the platform so CI on CPU still produces a
-    # number; the driver runs this on one real TPU chip.
     if on_tpu:
         batch, n_moves, n_rollouts = 1024, 80, 400
     else:
@@ -79,13 +123,28 @@ def main():
     dt = time.monotonic() - t0
 
     games_per_min_per_chip = batch * 60.0 / dt / jax.device_count()
-    out = {
+    backend = jax.default_backend() if on_tpu else "cpu-fallback"
+    return {
         "metric": f"selfplay games/min/chip (9x9, {n_rollouts} rollouts/move, "
-        f"{n_moves} moves, batch {batch})",
+        f"{n_moves} moves, batch {batch}, backend {backend})",
         "value": round(games_per_min_per_chip, 2),
         "unit": "games/min/chip",
         "vs_baseline": round(games_per_min_per_chip / 625.0, 4),
     }
+
+
+def main():
+    try:
+        on_tpu = _probe_tpu()
+        out = run_bench(on_tpu)
+    except Exception as e:  # noqa: BLE001 — structured error beats rc=1
+        out = {
+            "metric": "selfplay games/min/chip (9x9)",
+            "value": 0.0,
+            "unit": "games/min/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }
     print(json.dumps(out))
 
 

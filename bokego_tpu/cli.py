@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "measurably stronger, see PERF.md)")
     p.add_argument("--max-nodes", type=int, default=None,
                    help="node-pool capacity per tree")
+    p.add_argument("--leaf-batch", type=int, default=None, dest="leaf_batch",
+                   help="K leaf-parallel rollouts per device step with "
+                        "virtual loss (search/leafpar.py): one K-wide net "
+                        "forward replaces K dependent B=1 evals — the "
+                        "single-tree serving throughput lever. Composes "
+                        "with --forest (K x forest leaves per eval). "
+                        "Incompatible with --fast (XLA path only)")
     p.add_argument("--strong", action="store_true",
                    help="tuned serving preset: expand_thresh=16, "
                         "max_nodes=65536 (PERF.md search-config strength; "
@@ -112,6 +119,10 @@ def main(argv=None):
         overrides["expand_thresh"] = args.expand_thresh
     if args.max_nodes is not None:
         overrides["max_nodes"] = args.max_nodes
+    if args.leaf_batch is not None and args.leaf_batch > 1:
+        # leaf-parallel is XLA-path only; drop --fast's kernel/eval_every
+        overrides.update(leaf_batch=args.leaf_batch, use_kernel=False,
+                         eval_every=1)
     if overrides:
         import dataclasses
 

@@ -44,8 +44,27 @@ class SearchConfig:
     # first-visit valuation are delayed up to E-1 rollouts, during which
     # an unvalued leaf backs up a neutral 0 value — a small, documented
     # throughput/fidelity trade (measured: see PERF.md "fast-mode fidelity").
+    leaf_batch: int = 1  # K leaf-parallel rollouts per search step with
+    # virtual loss (search/leafpar.py — AlphaGo-style tree parallelism;
+    # the reference's search is strictly sequential, mcts.py:133-151).
+    # K=1 is bitwise the sequential algorithm; K>1 batches K descents
+    # into ONE net forward, the right lever for single-tree serving
+    # where the MXU otherwise sees B=1. Composes with forest_size
+    # (B trees × K leaves per evaluation). XLA path only.
+    leaf_vloss: float = 1.0  # virtual loss per traversed edge (K>1 only)
 
     def __post_init__(self):
+        if self.leaf_batch > 1:
+            if self.eval_every != 1:
+                raise ValueError(
+                    "leaf_batch > 1 requires eval_every == 1 (leaf-parallel "
+                    "search already amortizes evaluation across K descents)"
+                )
+            if self.use_kernel:
+                raise ValueError(
+                    "leaf_batch > 1 is XLA-path only (the Pallas rollout "
+                    "kernel fuses the K=1 cadence); set use_kernel=False"
+                )
         if self.use_kernel and self.eval_every == 1:
             # The kernel backprops BEFORE valuation, so even at E=1 a fresh
             # leaf's first visit backs up a neutral value — NOT the exact

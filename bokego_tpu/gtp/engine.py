@@ -96,12 +96,34 @@ class GTPEngine:
         self._jit_init = jax.jit(
             lambda rng, s, p: mcts.init_trees(rng, s, self.ev, p, cfg)
         )
-        self._jit_run = jax.jit(
-            lambda rng, t, p: mcts.run_search(rng, t, self.ev, p, cfg, ROLLOUT_CHUNK)
-        )
-        self._jit_run_big = jax.jit(
-            lambda rng, t, p: mcts.run_search(rng, t, self.ev, p, cfg, BIG_CHUNK)
-        )
+        if cfg.leaf_batch > 1:
+            # Leaf-parallel serving (search/leafpar.py): each device step
+            # runs K virtual-loss descents and ONE K-wide net forward, so a
+            # single served tree finally batches the MXU.  Rollout counts
+            # are identical (root visits grow by K per step), so chunk
+            # accounting below is unchanged.
+            from bokego_tpu.search import leafpar
+
+            K = cfg.leaf_batch
+            self._jit_run = jax.jit(
+                lambda rng, t, p: leafpar.run_search_k(
+                    rng, t, self.ev, p, cfg, ROLLOUT_CHUNK, K, cfg.leaf_vloss
+                )
+            )
+            self._jit_run_big = jax.jit(
+                lambda rng, t, p: leafpar.run_search_k(
+                    rng, t, self.ev, p, cfg, BIG_CHUNK, K, cfg.leaf_vloss
+                )
+            )
+        else:
+            self._jit_run = jax.jit(
+                lambda rng, t, p: mcts.run_search(
+                    rng, t, self.ev, p, cfg, ROLLOUT_CHUNK
+                )
+            )
+            self._jit_run_big = jax.jit(
+                lambda rng, t, p: mcts.run_search(rng, t, self.ev, p, cfg, BIG_CHUNK)
+            )
         self._dispatch_s = {ROLLOUT_CHUNK: 0.15, BIG_CHUNK: 0.35}  # measured online
         self._jit_advance = jax.jit(mcts.advance_root)
         # off-path slot reclamation at every re-root (the reference's
@@ -122,6 +144,44 @@ class GTPEngine:
             lambda t: jnp.take_along_axis(
                 t.pstats, t.root[:, None, None, None].astype(jnp.int32), axis=1
             )[:, 0]
+        )
+
+        def _child_visits_device(t):
+            # forest-summed root-child visits, computed ON DEVICE: only an
+            # (NN,) int32 vector transfers per call instead of the
+            # (forest, 8, 128) rows + a python forest×81 loop (round-3
+            # weak #6). Columns with no child in any tree report -1 so the
+            # host can distinguish "unexpanded" from "0 visits".
+            rows = jnp.take_along_axis(
+                t.pstats, t.root[:, None, None, None].astype(jnp.int32), axis=1
+            )[:, 0]
+            has = rows[:, tr_mod.C_CHILD, :NN] >= 0  # (forest, NN)
+            n = jnp.where(has, rows[:, tr_mod.C_N, :NN], 0.0).sum(0)
+            return jnp.where(has.any(0), n.astype(jnp.int32), -1)
+
+        self._jit_child_visits = jax.jit(_child_visits_device)
+        _w = mcts._mix_weight(cfg, self.ev.has_value)
+
+        def _analyze_stats_device(t, k: int):
+            # device-side top-k for the analyze stream: visits aggregate
+            # across the forest, the mixed winrate uses the same pooled
+            # (N, W_sim, W_val) triples as winrate(), priors come from
+            # tree 0 (all trees share the root prior modulo noise). Only
+            # four (k,) vectors transfer per tick.
+            rows = jnp.take_along_axis(
+                t.pstats, t.root[:, None, None, None].astype(jnp.int32), axis=1
+            )[:, 0]
+            has = rows[:, tr_mod.C_CHILD, :NN] >= 0
+            n = jnp.where(has, rows[:, tr_mod.C_N, :NN], 0.0).sum(0)
+            wq = jnp.where(has, rows[:, tr_mod.C_WQ, :NN], 0.0).sum(0)
+            wv = jnp.where(has, rows[:, tr_mod.C_WV, :NN], 0.0).sum(0)
+            mixed = ((1.0 - _w) * wq + _w * wv) / jnp.maximum(n, 1.0)
+            top_n, top_a = jax.lax.top_k(jnp.where(has.any(0), n, -1.0), k)
+            prior = rows[0, tr_mod.C_PRIOR, :NN][top_a]
+            return top_a, top_n.astype(jnp.int32), mixed[top_a], prior
+
+        self._jit_analyze_stats = jax.jit(
+            _analyze_stats_device, static_argnums=1
         )
         self._jit_pv = jax.jit(
             lambda t, acts: mcts.pv_walk(
@@ -221,7 +281,12 @@ class GTPEngine:
             committed = self._dispatch_s[BIG_CHUNK] * (
                 2.4 if pending is not None else 1.2
             )
-            if not first and remaining <= committed:
+            if remaining <= committed and (
+                not first or seconds < self._dispatch_s[BIG_CHUNK]
+            ):
+                # Sub-chunk budgets (e.g. a strict GTP clock at 0.2s) go
+                # straight to the small blocking chunks below instead of
+                # overrunning the deadline with one ~0.35s BIG_CHUNK.
                 break
             if pending is None and self._pool_full():
                 break
@@ -273,17 +338,11 @@ class GTPEngine:
     def _root_child_visits(self) -> dict[int, int]:
         """action -> summed visits across the forest (root-parallel
         vote-combining, the unfinished ``Forest.forest_choose``,
-        gtp.py:426-428, done properly).  Only the (forest, 8, 128) root rows
-        transfer to host — not the whole node pool."""
-        from bokego_tpu.search import tree as tr
-
-        rows = np.asarray(self._jit_root_rows(self.trees))
-        out: dict[int, int] = {}
-        for f in range(self.forest):
-            row = rows[f]  # (8, 128) channel planes
-            for a in np.flatnonzero(row[tr.C_CHILD, :NN] >= 0):
-                out[int(a)] = out.get(int(a), 0) + int(row[tr.C_N, a])
-        return out
+        gtp.py:426-428, done properly).  Aggregation happens ON DEVICE —
+        only an (NN,) vector transfers, not the (forest, 8, 128) rows, and
+        the python forest×81 loop is gone (round-3 weak #6)."""
+        vis = np.asarray(self._jit_child_visits(self.trees))
+        return {int(a): int(vis[a]) for a in np.flatnonzero(vis >= 0)}
 
     def _apply_move(self, action: int):
         """Step the engine state; re-root the tree into the played child
@@ -393,9 +452,19 @@ class GTPEngine:
             if self._input[0] is not None:
                 yield "\n"
                 break
-            visits = self._root_child_visits()
-            row = np.asarray(self._jit_root_rows(self.trees))[0]  # (8, 128)
-            best = sorted(visits, key=lambda a: visits[a])[-k:]
+            # device-side top-k (round-3 weak #6): visits/winrate/prior for
+            # the k best children aggregate on device; only four (k,)
+            # vectors transfer per tick instead of the full root rows
+            top_a, top_n, mixed, prior = (
+                np.asarray(x) for x in self._jit_analyze_stats(self.trees, k)
+            )
+            keep = top_n >= 0  # top_k pads with no-child slots at -1
+            # ascending visit order, matching the reference's stream
+            best = [int(a) for a in top_a[keep][::-1]]
+            stats = {
+                int(a): (int(n), float(m), float(p))
+                for a, n, m, p in zip(top_a, top_n, mixed, prior)
+            }
             # principal variations walk the tree ON DEVICE — only a
             # (k, depth) action array transfers, not the pstats pool
             pvs = np.asarray(
@@ -403,17 +472,13 @@ class GTPEngine:
             )
             out = ""
             for i, a in enumerate(best):
-                n = max(int(row[tr_mod.C_N, a]), 1)
-                v = (
-                    (1 - self._w) * row[tr_mod.C_WQ, a]
-                    + self._w * row[tr_mod.C_WV, a]
-                ) / n
+                n, v, pr = stats[a]
                 child_wr = (v + 1) / 2
                 pv = [a] + [int(x) for x in pvs[i] if x >= 0]
                 out += (
-                    f"info move {unsquash(a)} visits {visits[a]} "
+                    f"info move {unsquash(a)} visits {n} "
                     f"winrate {10000 * (1 - child_wr):.0f} "
-                    f"prior {10000 * row[tr_mod.C_PRIOR, a]:.0f} "
+                    f"prior {10000 * pr:.0f} "
                     "pv " + " ".join(unsquash(pv)) + " "
                 )
             yield out + "\n"

@@ -53,7 +53,7 @@ def generate(
     min_r: int = 70,
     max_r: int = 90,
     resolved_labels: bool = True,
-    resolve_playouts: int = 16,
+    resolve_playouts: int = 17,  # odd: avoids exact ownership-vote ties
 ) -> ValueSamples:
     """One batch of labeled positions (gen_game, genvals.py:17-42)."""
     r_rng, play_rng, res_rng = jax.random.split(rng, 3)

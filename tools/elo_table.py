@@ -14,7 +14,7 @@ Inputs (all committed):
   data/training_logs/anchor_match_r3.txt      full-search own-weights match
   data/matches_r3/tally.txt                   engine-vs-engine match
 
-Usage: python tools/elo_table.py [--out STRENGTH fragment path]
+Usage: python tools/elo_table.py [--markdown]
 """
 
 import argparse
@@ -27,8 +27,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def clopper_pearson(w: int, n: int, alpha: float = 0.05):
-    """Exact binomial CI via the beta-quantile identity (bisection — no
-    scipy in this container)."""
+    """Exact binomial CI via the beta-quantile identity (bisection).
+
+    Pure python on purpose — this is the one Clopper-Pearson helper the
+    tools share (match_table.py imports it), so the numbers in every doc
+    come from the same code path regardless of scipy availability."""
 
     def beta_ppf(q, a, b):
         # regularized incomplete beta by continued fraction (Lentz), then

@@ -11,7 +11,8 @@ import os
 import re
 import sys
 
-from scipy.stats import beta
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from elo_table import clopper_pearson  # shared exact-CI helper
 
 
 def main(out_dir="data/matches_r3"):
@@ -41,8 +42,7 @@ def main(out_dir="data/matches_r3"):
     print("| game | our color | result | how it ended |")
     print("|---|---|---|---|")
     print("\n".join(rows))
-    lo = beta.ppf(0.025, wins, n - wins + 1) if wins else 0.0
-    hi = beta.ppf(0.975, wins + 1, n - wins) if wins < n else 1.0
+    lo, hi = clopper_pearson(wins, n)
     print(f"\n{wins}-{n - wins} (n={n}); exact binomial 95% CI for the win "
           f"probability: {lo:.3f}-{hi:.3f}")
 

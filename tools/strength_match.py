@@ -108,12 +108,14 @@ def main():
             f.write(line + "\n")
         i += 1
 
-    wins = 0
+    wins = n = 0
     with open(tally_path) as f:
         for line in f:
             wins += " WON " in line
-    n = args.n_games
-    pw = wins / n
+            n += line.startswith("game ")
+    # n counts tally lines, not args.n_games: a rerun with a smaller
+    # --n_games than an existing tally must not report winrate > 1.
+    pw = wins / max(n, 1)
     # exact binomial would be better; Wilson is fine for a progress print
     ci = 1.96 * math.sqrt(max(pw * (1 - pw), 1e-9) / n)
     print(f"\nbokego-tpu {wins}-{n - wins} vs reference engine "
