@@ -59,7 +59,6 @@ from bokego_tpu.search import tree as tr_mod
 from bokego_tpu.search.mcts import (
     Evaluator,
     _descend_batch,
-    _evaluate,
     _expand_batch,
     _mix_weight,
     _simulate,
@@ -223,7 +222,13 @@ def search_step_k(
     # descend + backprop
     flat_states = None if cfg.no_sim else flat_leaf_states(trees)
 
-    def eval_and_expand(trees):
+    # compute-only cond (same structure as mcts.search_step, round-3 weak
+    # #5 fix): the cond returns only (K, B, ...) compute results; every
+    # pool-sized scatter runs unconditionally outside it, so the identity
+    # branch forces no defensive full-pool copies.  On no-work steps
+    # any_work == False implies need/unvalued are all-False, so the
+    # drop-scatters below are dead by construction.
+    def eval_compute(trees):
         fs = flat_states if flat_states is not None else flat_leaf_states(trees)
         if ev.evaluate_fts is not None:
             # fused path (as mcts.search_step): one group analysis over all
@@ -234,51 +239,57 @@ def search_step_k(
             fa = jax.vmap(rules_mod.leaf_analysis)(fs)
             fts = jax.vmap(features_from_tables)(fs, fa.mt)
             probs, vals = ev.evaluate_fts(params, fts)
-            if vals is None:
-                vals = jnp.zeros(probs.shape[0], jnp.float32)
-            pre = jax.tree.map(
-                lambda x: x.reshape((K, B) + x.shape[1:]), (fa.children, fa.legal)
-            )
+            pre_flat = (fa.children, fa.legal)
         else:
-            probs, vals = _evaluate(ev, params, fs)
-            pre = None
-        probs_k = probs.reshape(K, B, -1)
-        vals_k = vals.reshape(K, B)
-
-        # expand each sub-batch in sequence: slot allocation is a counter,
-        # and the expanded flag set by sub-step i blocks re-expansion of the
-        # same leaf at sub-step j > i (need is re-derived from the carried
-        # trees, not the pre-scan snapshot)
-        def exp_body(t, xs):
-            leaf_i, probs_i, visits_i, pre_i = xs
-            need_i = (
-                (visits_i > cfg.expand_thresh)
-                & ~_take_rows(t.terminal, leaf_i)
-                & ~_take_rows(t.expanded, leaf_i)
-            )
-            t = jax.lax.cond(
-                jnp.any(need_i),
-                lambda t: _expand_batch(t, leaf_i, probs_i, need_i, cfg, pre_i),
-                lambda t: t,
-                t,
-            )
-            return t, None
-
-        trees2, _ = jax.lax.scan(
-            exp_body, trees, (leaves, probs_k, leaf_visits, pre)
+            probs, vals = ev.evaluate(params, fs)
+            csts, legal = jax.vmap(
+                lambda s: rules_mod.child_states(s, with_hash=False)
+            )(fs)
+            pre_flat = (csts, legal)
+        if vals is None:
+            vals = jnp.zeros(probs.shape[0], jnp.float32)
+        pre = jax.tree.map(
+            lambda x: x.reshape((K, B) + x.shape[1:]), pre_flat
         )
+        return probs.reshape(K, B, -1), vals.reshape(K, B), pre
 
-        # value every leaf (first-visit cache, mcts.py:42): one scatter per
-        # tree; duplicate leaves carry identical values so write order is
-        # irrelevant
-        def setv(val_row, idx, v):
-            known = ~jnp.isnan(val_row[idx])
-            return val_row.at[jnp.where(known, cap, idx)].set(v, mode="drop")
+    out_shapes = jax.eval_shape(eval_compute, trees)
+    probs_k, vals_k, pre = jax.lax.cond(
+        any_work,
+        eval_compute,
+        lambda t: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), out_shapes
+        ),
+        trees,
+    )
 
-        value = jax.vmap(setv)(trees2.value, leaves.T, vals_k.T)
-        return trees2.replace(value=value)
+    # expand each sub-batch in sequence: slot allocation is a counter,
+    # and the expanded flag set by sub-step i blocks re-expansion of the
+    # same leaf at sub-step j > i (need is re-derived from the carried
+    # trees, not the pre-scan snapshot)
+    def exp_body(t, xs):
+        leaf_i, probs_i, visits_i, pre_i = xs
+        need_i = (
+            (visits_i > cfg.expand_thresh)
+            & ~_take_rows(t.terminal, leaf_i)
+            & ~_take_rows(t.expanded, leaf_i)
+        )
+        return _expand_batch(t, leaf_i, probs_i, need_i, cfg, pre_i), None
 
-    trees = jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
+    trees, _ = jax.lax.scan(
+        exp_body, trees, (leaves, probs_k, leaf_visits, pre)
+    )
+
+    # value every leaf (first-visit cache, mcts.py:42): one scatter per
+    # tree; duplicate leaves carry identical values so write order is
+    # irrelevant
+    def setv(val_row, idx, v):
+        known = ~jnp.isnan(val_row[idx])
+        return val_row.at[jnp.where(known, cap, idx)].set(v, mode="drop")
+
+    trees = trees.replace(
+        value=jax.vmap(setv)(trees.value, leaves.T, vals_k.T)
+    )
 
     if cfg.no_sim:
         sim_r = jnp.zeros((K, B), jnp.float32)

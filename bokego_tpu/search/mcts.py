@@ -442,7 +442,18 @@ def search_step(
     if cfg.eval_every > 1:
         any_work = any_work & (jnp.asarray(step_idx) % cfg.eval_every == 0)
 
-    def eval_and_expand(trees):
+    # Copy-free cond structure (round-3 weak #5: --strong per-chunk cost
+    # scaled with max_nodes): the cond carries only the COMPUTE — net
+    # forward + successor generation, returning small (B, ...) arrays —
+    # while every pool-sized scatter runs unconditionally outside it.
+    # When the cond's branches instead returned the whole Tree, XLA
+    # inserted defensive full-pool copies of the nodes/flag arrays in the
+    # identity branch to unify buffer assignment, a ~O(max_nodes) tax on
+    # EVERY rollout (measured: 0.77 -> 4.0 ms/rollout from 512 -> 32768
+    # slots on CPU; HLO showed s8[32768,81] etc. copies per iteration).
+    # Outside the cond the scatters are O(82 rows) drop-writes whose
+    # indices are dead (need/unvalued all-False) on no-work steps.
+    def eval_compute(trees):
         leaf_states = gather_states(trees.nodes, leaves)
         if ev.evaluate_fts is not None:
             # fused path: one group analysis serves both the feature planes
@@ -452,15 +463,42 @@ def search_step(
             fa = jax.vmap(rules_mod.leaf_analysis)(leaf_states)
             fts = jax.vmap(features_from_tables)(leaf_states, fa.mt)
             probs, vals = ev.evaluate_fts(params, fts)
-            if vals is None:
-                vals = jnp.zeros(probs.shape[0], jnp.float32)
-            trees = _expand_batch(
-                trees, leaves, probs, need, cfg, precomputed=(fa.children, fa.legal)
-            )
+            pre = (fa.children, fa.legal)
         else:
-            probs, vals = _evaluate(ev, params, leaf_states)
-            trees = _expand_batch(trees, leaves, probs, need, cfg)
-        return jax.vmap(set_leaf_value)(trees, leaves, vals)
+            probs, vals = ev.evaluate(params, leaf_states)
+            csts, legal = jax.vmap(
+                lambda s: rules_mod.child_states(s, with_hash=False)
+            )(leaf_states)
+            pre = (csts, legal)
+        if vals is None:
+            vals = jnp.zeros(probs.shape[0], jnp.float32)
+        return probs, vals, pre
+
+    out_shapes = jax.eval_shape(eval_compute, trees)
+    probs, vals, pre = jax.lax.cond(
+        any_work,
+        eval_compute,
+        lambda t: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), out_shapes
+        ),
+        trees,
+    )
+
+    def apply_updates(trees):
+        # mask by any_work: with eval_every > 1 a non-eval step can have
+        # need=True / unvalued leaves, and the scatters below must stay
+        # dead on those steps (no zero-prior expansion, no 0.0 caching)
+        trees = _expand_batch(
+            trees, leaves, probs, need & any_work, cfg, precomputed=pre
+        )
+
+        def setv(t, l, v):
+            idx = jnp.where(
+                any_work & jnp.isnan(t.value[l]), l, t.capacity
+            )
+            return t.replace(value=t.value.at[idx].set(v, mode="drop"))
+
+        return jax.vmap(setv)(trees, leaves, vals)
 
     if cfg.no_sim:
         sim_r = jnp.zeros(batch, jnp.float32)
@@ -473,11 +511,11 @@ def search_step(
         # Delayed-valuation ordering (same as the Pallas kernel path):
         # backprop with the current cached value, then evaluate/expand.
         trees = _backprop_batch(trees, desc, sim_r, use_sim, has_value)
-        trees = jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
+        trees = apply_updates(trees)
     else:
         # Exact reference ordering: evaluate the leaf, then backprop it
         # (MCTS.rollout, mcts.py:139-151).
-        trees = jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
+        trees = apply_updates(trees)
         trees = _backprop_batch(trees, desc, sim_r, use_sim, has_value)
     return trees
 
@@ -539,27 +577,46 @@ def _search_step_kernel(rng, trees, ev, params, cfg, step_idx, w, has_value):
     if cfg.eval_every > 1:
         any_work = any_work & (jnp.asarray(step_idx) % cfg.eval_every == 0)
 
-    def eval_and_expand(trees):
+    # compute-only cond (same structure as the XLA path above): the cond
+    # returns small (B, ...) arrays; pool-sized scatters run outside it so
+    # the identity branch forces no defensive full-pool copies
+    def eval_compute(trees):
         leaf_states = gather_states(trees.nodes, leaves)
         if ev.evaluate_fts is not None:
-            # fused path: one group analysis serves both the feature planes
-            # and all successor states
             from bokego_tpu.features import features_from_tables
 
             fa = jax.vmap(rules_mod.leaf_analysis)(leaf_states)
             fts = jax.vmap(features_from_tables)(leaf_states, fa.mt)
             probs, vals = ev.evaluate_fts(params, fts)
-            if vals is None:
-                vals = jnp.zeros(probs.shape[0], jnp.float32)
-            trees = _expand_batch(
-                trees, leaves, probs, need, cfg, precomputed=(fa.children, fa.legal)
-            )
+            pre = (fa.children, fa.legal)
         else:
-            probs, vals = _evaluate(ev, params, leaf_states)
-            trees = _expand_batch(trees, leaves, probs, need, cfg)
-        return jax.vmap(set_leaf_value)(trees, leaves, vals)
+            probs, vals = ev.evaluate(params, leaf_states)
+            csts, legal = jax.vmap(
+                lambda s: rules_mod.child_states(s, with_hash=False)
+            )(leaf_states)
+            pre = (csts, legal)
+        if vals is None:
+            vals = jnp.zeros(probs.shape[0], jnp.float32)
+        return probs, vals, pre
 
-    return jax.lax.cond(any_work, eval_and_expand, lambda t: t, trees)
+    out_shapes = jax.eval_shape(eval_compute, trees)
+    probs, vals, pre = jax.lax.cond(
+        any_work,
+        eval_compute,
+        lambda t: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), out_shapes
+        ),
+        trees,
+    )
+    trees = _expand_batch(
+        trees, leaves, probs, need & any_work, cfg, precomputed=pre
+    )
+
+    def setv(t, l, v):
+        idx = jnp.where(any_work & jnp.isnan(t.value[l]), l, t.capacity)
+        return t.replace(value=t.value.at[idx].set(v, mode="drop"))
+
+    return jax.vmap(setv)(trees, leaves, vals)
 
 
 def add_root_noise(
