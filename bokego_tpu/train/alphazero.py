@@ -47,11 +47,15 @@ def selfplay_with_targets(
     n_moves: int,
     n_rollouts: int,
     temperature: float = 0.0,
+    temp_moves: int | None = None,
 ) -> AZTrajectory:
     """Play ``batch`` games with full search per move, recording targets.
 
     ``temperature``: 0 = most-visited (the reference's ``choose``);
     > 0 samples actions proportional to visits^(1/T) (AlphaZero exploration).
+    ``temp_moves``: when set, the sampling temperature applies only to the
+    first ``temp_moves`` plies and play is greedy (most-visited) after —
+    the AlphaZero opening-diversity schedule; endgame targets stay sharp.
     """
 
     def move_body(carry, xs):
@@ -71,6 +75,9 @@ def selfplay_with_targets(
             actions = jnp.where(
                 visits.sum(axis=1) > 0, actions, PASS_ACTION
             ).astype(jnp.int32)
+            if temp_moves is not None:
+                greedy = jax.vmap(mcts.choose_action)(trees)
+                actions = jnp.where(i < temp_moves, actions, greedy)
         else:
             actions = jax.vmap(mcts.choose_action)(trees)
         actions = jnp.where(done, PASS_ACTION, actions)
@@ -172,9 +179,21 @@ def train(
     cfg: SearchConfig | None = None,
     lr: float = 1e-3,
     temperature: float = 1.0,
+    temp_moves: int | None = 12,
+    updates_per_iter: int = 1,
+    start_iter: int = 0,
+    checkpoint_fn=None,
     log_fn=print,
 ) -> AZState:
-    """Closed AZ loop: search self-play -> one update per iteration."""
+    """Closed AZ loop: search self-play -> ``updates_per_iter`` updates per
+    iteration (replaying the same trajectory batch; cheap sample reuse).
+
+    Restartable: ``start_iter`` offsets the rng stream so a resumed run
+    sees fresh games, and ``checkpoint_fn(it, state)``, when given, is
+    called after every iteration (the CLI saves orbax checkpoints there —
+    optimizer state intentionally restarts fresh, matching the reference's
+    per-invocation Adam, selfplay.py:137).
+    """
     if cfg is None:
         cfg = SearchConfig(
             expand_thresh=8, no_sim=True, max_nodes=512,
@@ -193,13 +212,17 @@ def train(
     @jax.jit
     def play(rng, params):
         return selfplay_with_targets(
-            rng, ev, params, cfg, batch, n_moves, n_rollouts, temperature
+            rng, ev, params, cfg, batch, n_moves, n_rollouts, temperature,
+            temp_moves,
         )
-    for it in range(iters):
-        rng, sub = jax.random.split(rng)
+    for it in range(start_iter, start_iter + iters):
+        sub = jax.random.fold_in(rng, it)
         traj = play(sub, {"policy": state.policy, "value": state.value})
-        state, pl, vl = step(state, traj)
+        for _ in range(updates_per_iter):
+            state, pl, vl = step(state, traj)
         wins = float((np.asarray(rules.score_batch(traj.final)) > 0).mean())
         log_fn(f"az iter {it + 1}: policy_ce {float(pl):.3f} "
                f"value_mse {float(vl):.3f} black_winrate {wins:.2f}")
+        if checkpoint_fn is not None:
+            checkpoint_fn(it + 1, state)
     return state
