@@ -88,15 +88,26 @@ def run_bench(on_tpu: bool) -> dict:
         kernel_levels=6,
         eval_every=8 if on_tpu else 1,
     )
-    # f32 trunks: bf16 measured SLOWER here (1,922 vs 1,986 g/min — the
-    # per-call casts outweigh the MXU gain at this batch; PERF.md).
-    ev = mcts.net_evaluator(has_value=True)
+    # f32 trunks by default: bf16 with PER-CALL param casts measured SLOWER
+    # (1,922 vs 1,986 g/min; PERF.md).  BOKEGO_BENCH_DTYPE=bf16 stores the
+    # params in bf16 ONCE at init instead — the round-4 variant that keeps
+    # the MXU gain without paying the cast per eval (A/B'd on TPU).
     from bokego_tpu.models import init_policy, init_value
 
     params = {
         "policy": init_policy(jax.random.PRNGKey(0)),
         "value": init_value(jax.random.PRNGKey(1)),
     }
+    if os.environ.get("BOKEGO_BENCH_DTYPE") == "bf16":
+        ev = mcts.net_evaluator(has_value=True, dtype=jnp.bfloat16)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            params,
+        )
+    else:
+        ev = mcts.net_evaluator(has_value=True)
 
     @jax.jit
     def one_move(rng, states, done):

@@ -39,6 +39,10 @@ def main():
     p.add_argument("--forest", type=int, default=1,
                    help="root-parallel trees (rollouts/s aggregates over "
                         "the forest — the served Forest configuration)")
+    p.add_argument("--leaf-batch", type=int, default=1, dest="leaf_batch",
+                   help="K leaf-parallel rollouts per step with virtual "
+                        "loss (search/leafpar.py; round-4 single-tree "
+                        "serving lever)")
     args = p.parse_args()
 
     from bokego_tpu.cli import load_variables
@@ -54,6 +58,10 @@ def main():
     }
     scfg = (SearchConfig(expand_thresh=16, max_nodes=65536)
             if args.strong else SearchConfig())
+    if args.leaf_batch > 1:
+        import dataclasses
+
+        scfg = dataclasses.replace(scfg, leaf_batch=args.leaf_batch)
     eng = GTPEngine(net_evaluator(has_value=True), params, scfg,
                     EngineConfig(pondering=False, time_lim=args.time,
                                  forest_size=args.forest))
@@ -63,7 +71,8 @@ def main():
         eng._dispatch(big)
 
     print(f"config: {'strong' if args.strong else 'default'}, "
-          f"forest {args.forest}, {args.time}s/trial")
+          f"forest {args.forest}, leaf_batch {args.leaf_batch}, "
+          f"{args.time}s/trial")
     for mode in ("timed-pipelined", "count-blocking"):
         rates = []
         for t in range(args.trials):
