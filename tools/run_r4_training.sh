@@ -46,6 +46,7 @@ echo "== anchor 2: az_r4 vs the reference's shipped policy_17 (+value_r2) =="
 echo "== anchor 3: raw az_r4 policy vs policy_17 (policy-only curve point) =="
 [ -s "$LOG/az_r4_raw_anchor.txt" ] || python -u tools/policy_curve.py \
   --games 256 --single data/weights/az_r4_policy --seed 47 \
+  --out "$LOG/az_r4_raw_anchor_curve.txt" \
   2>&1 | tee "$LOG/az_r4_raw_anchor.txt"
 
 echo "done"
