@@ -381,3 +381,23 @@ def test_device_analyze_stats_match_host():
     visits = eng._root_child_visits()
     for a, v in visits.items():
         assert int(n[a]) == v
+
+
+def test_timed_rollout_subchunk_budget_skips_big_chunk():
+    """ADVICE r3: when the budget is smaller than one BIG_CHUNK dispatch,
+    timed_rollout must go straight to small blocking chunks instead of
+    overrunning the deadline with a ~0.35s 256-rollout dispatch."""
+    eng = GTPEngine(
+        fake_evaluator(),
+        None,
+        SearchConfig(expand_thresh=4, no_sim=True, max_nodes=512),
+        EngineConfig(time_lim=0.2, pondering=False),
+    )
+    eng.running = True
+    eng._ensure_tree()
+    # pretend a BIG_CHUNK costs 10s (way over the 0.2s budget) and small
+    # chunks are instant: the big loop must not dispatch even once
+    eng._dispatch_s = {8: 0.001, 256: 10.0}
+    eng.timed_rollout(0.2)
+    visits = float(np.asarray(eng.trees.root_stats[..., 0]).sum())
+    assert 0 < visits < 256, visits
