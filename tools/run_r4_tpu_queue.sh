@@ -8,11 +8,13 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 LOG=data/training_logs
 mkdir -p "$LOG" /tmp/r4
-run() {  # run <artifact> <cmd...> — skip if artifact non-empty
+run() {  # run <artifact> <cmd...> — skip if artifact non-empty; a wedged
+  # backend init must fail the stage, not stall the queue
   local art=$1; shift
   if [ -s "$art" ]; then echo "SKIP (have $art)"; return 0; fi
   echo "== $* =="
-  "$@" 2>&1 | tee "$art.tmp" && mv "$art.tmp" "$art" || echo "STAGE FAILED: $*"
+  timeout 2700 "$@" 2>&1 | tee "$art.tmp" && mv "$art.tmp" "$art" \
+    || echo "STAGE FAILED: $*"
 }
 
 # 1. Headline bench FIRST (VERDICT #1) — rc-0 JSON whatever happens.
@@ -39,11 +41,12 @@ run "$LOG/leafpar_strength_match.txt" python -u tools/serving_match.py \
   '{"expand_thresh":16,"max_nodes":16384}' \
   --games 16 --time 1.0 --seed 41
 
-# 5. Closed-loop convergence (VERDICT #6; ~1.5 h, restartable).
-bash tools/run_r4_training.sh
+# 5. Closed-loop convergence (VERDICT #6; ~1.5 h, restartable — the AZ
+#    stage checkpoints every 16 iters, so a timeout only loses the tail).
+timeout 10800 bash tools/run_r4_training.sh
 
 # 6. Resume the controlled match toward n>=50 (VERDICT #3; ~10 min/game,
 #    restartable tally — rerun this script to continue after any death).
-python -u tools/strength_match.py 50 2>&1 | tee -a /tmp/r4/match.log
+timeout 18000 python -u tools/strength_match.py 50 2>&1 | tee -a /tmp/r4/match.log
 
 echo "QUEUE COMPLETE"
