@@ -409,3 +409,30 @@ def test_pv_walk_matches_host_walk():
                 want.append(a)
                 cur = int(ch[a])
         np.testing.assert_array_equal(got[k], np.array(want, np.int32))
+
+
+def test_eval_every_noneval_step_caches_nothing():
+    """Round-4 cond restructure: pool scatters run unconditionally outside
+    the eval cond, so on a NON-eval step (eval_every > 1) they must be
+    dead — no zero-prior expansion, and an unvalued leaf must stay NaN
+    (not get 0.0 cached)."""
+    states = st.new_game_batch(2)
+    cfg = SearchConfig(
+        expand_thresh=0, no_sim=True, max_nodes=256, eval_every=4
+    )
+    ev = fake_evaluator()
+    trees = mcts.init_trees(jax.random.PRNGKey(0), states, ev, None, cfg)
+    nan_before = int(jnp.isnan(trees.value).sum())
+    n_nodes_before = np.asarray(trees.n_nodes).copy()
+    # step_idx=1: forced non-eval; every child leaf is unvalued and (with
+    # expand_thresh=0) would expand on an eval step
+    out = jax.jit(
+        lambda r, t: mcts.search_step(r, t, ev, None, cfg, 1)
+    )(jax.random.PRNGKey(1), trees)
+    assert int(jnp.isnan(out.value).sum()) == nan_before  # nothing cached
+    np.testing.assert_array_equal(np.asarray(out.n_nodes), n_nodes_before)
+    # visits still backprop (neutral value): root N grew by 1
+    np.testing.assert_allclose(
+        np.asarray(out.root_stats[:, 0]),
+        np.asarray(trees.root_stats[:, 0]) + 1,
+    )
