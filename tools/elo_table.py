@@ -168,6 +168,33 @@ def main():
                 )
             )
 
+    az_raw = os.path.join(REPO, "data/training_logs/az_r4_raw_anchor_curve.txt")
+    if os.path.exists(az_raw):
+        for line in open(az_raw):
+            m = re.match(r"gen (\S+): (\d+)/(\d+)", line)
+            if m:
+                rows.append(
+                    row(
+                        "az_r4 (raw policy)",
+                        int(m.group(2)),
+                        int(m.group(3)),
+                        "AZ loop seeded from policy_8",
+                    )
+                )
+
+    az_full = os.path.join(REPO, "data/training_logs/az_r4_vs_policy17.txt")
+    if os.path.exists(az_full):
+        m = re.search(r"A won (\d+)/(\d+)", open(az_full).read())
+        if m:
+            rows.append(
+                row(
+                    "az_r4+value (400-rollout search)",
+                    int(m.group(1)),
+                    int(m.group(2)),
+                    "vs policy_17+value_r2, same search",
+                )
+            )
+
     tally = os.path.join(REPO, "data/matches_r3/tally.txt")
     if os.path.exists(tally):
         lines = [l for l in open(tally) if l.startswith("game")]
