@@ -6,6 +6,9 @@
 # one process.
 set -uo pipefail
 cd "$(dirname "$0")/.."
+# Persistent compile cache: every stage is a fresh process; warmup compiles
+# (not timed regions — bench times after warmup) shouldn't be re-paid 10x.
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp
 LOG=data/training_logs
 mkdir -p "$LOG" /tmp/r4
 run() {  # run <artifact> <cmd...> — skip if artifact non-empty; a wedged

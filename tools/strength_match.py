@@ -30,6 +30,7 @@ Usage: python tools/strength_match.py [n_games] [out_dir]
 """
 
 import argparse
+import fcntl
 import math
 import os
 import sys
@@ -56,6 +57,16 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     tally_path = os.path.join(args.out_dir, "tally.txt")
+
+    # Exclusive per-out_dir lock: the watcher-launched TPU queue and a
+    # manually resumed match must never interleave appends to one tally.
+    lock = open(os.path.join(args.out_dir, ".match.lock"), "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        print(f"another strength_match already owns {args.out_dir}; exiting",
+              file=sys.stderr)
+        sys.exit(0)
 
     ours = (
         f"env JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp "
@@ -117,7 +128,7 @@ def main():
     # --n_games than an existing tally must not report winrate > 1.
     pw = wins / max(n, 1)
     # exact binomial would be better; Wilson is fine for a progress print
-    ci = 1.96 * math.sqrt(max(pw * (1 - pw), 1e-9) / n)
+    ci = 1.96 * math.sqrt(max(pw * (1 - pw), 1e-9) / max(n, 1))
     print(f"\nbokego-tpu {wins}-{n - wins} vs reference engine "
           f"(ours {args.ours_time}s/move timed; reference "
           f"{args.ref_rollouts} rollouts/move fixed + pondering; "
