@@ -135,13 +135,21 @@ def run_bench(on_tpu: bool) -> dict:
 
     games_per_min_per_chip = batch * 60.0 / dt / jax.device_count()
     backend = jax.default_backend() if on_tpu else "cpu-fallback"
-    return {
+    out = {
         "metric": f"selfplay games/min/chip (9x9, {n_rollouts} rollouts/move, "
         f"{n_moves} moves, batch {batch}, backend {backend})",
         "value": round(games_per_min_per_chip, 2),
         "unit": "games/min/chip",
-        "vs_baseline": round(games_per_min_per_chip / 625.0, 4),
+        # The 625 g/min/chip denominator is the TPU north star
+        # (BASELINE.json); a CPU smoke config is ~50x lighter and must
+        # never be reported as a fraction of it (VERDICT r4 weak #1).
+        "vs_baseline": round(games_per_min_per_chip / 625.0, 4)
+        if on_tpu
+        else None,
     }
+    if not on_tpu:
+        out["smoke"] = True
+    return out
 
 
 def main():
@@ -153,7 +161,7 @@ def main():
             "metric": "selfplay games/min/chip (9x9)",
             "value": 0.0,
             "unit": "games/min/chip",
-            "vs_baseline": 0.0,
+            "vs_baseline": None,
             "error": f"{type(e).__name__}: {e}",
         }
     print(json.dumps(out))

@@ -38,7 +38,9 @@ Semantics vs ``mcts.search_step``:
   within one step cannot see each other's evaluations, so two of them
   may reach the same unexpanded leaf (both then backprop that leaf's
   single value).  This is the same trade every virtual-loss engine
-  makes; strength cost is measured, not assumed (PERF.md).
+  makes; the strength cost must be measured, not assumed — the
+  equal-wall-clock match (tools/serving_match.py, queue stage 4) is
+  PENDING HARDWARE and its result lands in PERF.md when it runs.
 
 Composes with forest batching: shapes are (B trees, K leaves), so
 ``--forest 8`` with ``leaf_batch 16`` evaluates 128 positions per step.

@@ -12,9 +12,14 @@ export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp
 LOG=data/training_logs
 mkdir -p "$LOG" /tmp/r4
 run() {  # run <artifact> <cmd...> — skip if artifact non-empty; a wedged
-  # backend init must fail the stage, not stall the queue
+  # backend init must fail the stage, not stall the queue.
+  # A cpu-fallback or structured-error artifact does NOT count as done:
+  # a stage that ran during a TPU outage must re-run once the TPU is back
+  # (ADVICE r4 #1 — otherwise a smoke number gets locked in forever).
   local art=$1; shift
-  if [ -s "$art" ]; then echo "SKIP (have $art)"; return 0; fi
+  if [ -s "$art" ] && ! grep -qE 'cpu-fallback|"error"|"smoke": true' "$art"; then
+    echo "SKIP (have $art)"; return 0
+  fi
   echo "== $* =="
   timeout 2700 "$@" 2>&1 | tee "$art.tmp" && mv "$art.tmp" "$art" \
     || echo "STAGE FAILED: $*"
