@@ -39,9 +39,21 @@ def main():
     from bokego_tpu.cli import load_variables
     from bokego_tpu.train import alphazero as az, checkpoints
 
+    import numpy as np
+
     start_iter = 0
     iter_path = args.out + "_iter.txt"
-    if args.resume and os.path.isdir(args.out + "_policy"):
+    ckpt_path = args.out + "_ckpt"  # combined all-or-nothing resume state
+    if args.resume and os.path.isdir(ckpt_path):
+        # Single-payload resume: policy+value+iter land in ONE orbax save
+        # (tmp dir + rename, atomic), so a crash mid-checkpoint can never
+        # leave a mixed pair for --resume to load (ADVICE r4 #3).
+        payload = checkpoints.load_checkpoint(ckpt_path)["variables"]
+        pv, vv = payload["policy"], payload["value"]
+        start_iter = int(payload["iter"])
+        print(f"resuming from {ckpt_path} at iter {start_iter}")
+    elif args.resume and os.path.isdir(args.out + "_policy"):
+        # legacy split layout (pre-combined checkpoints)
         pv = checkpoints.load_variables(args.out + "_policy")
         vv = checkpoints.load_variables(args.out + "_value")
         if os.path.exists(iter_path):
@@ -51,13 +63,22 @@ def main():
         pv = load_variables(args.policy, "policy")
         vv = load_variables(args.value, "value")
 
+    def save_all(it, policy, value):
+        # Resume source of truth first (atomic); the split dirs and iter
+        # file are derived conveniences for the anchor/match tools.
+        checkpoints.save_variables(
+            ckpt_path,
+            {"policy": policy, "value": value, "iter": np.asarray(it)},
+        )
+        checkpoints.save_variables(args.out + "_policy", policy)
+        checkpoints.save_variables(args.out + "_value", value)
+        with open(iter_path, "w") as f:
+            f.write(str(it))
+
     def checkpoint(it, state):
         if it % args.save_every and it != start_iter + args.iters:
             return
-        checkpoints.save_variables(args.out + "_policy", state.policy)
-        checkpoints.save_variables(args.out + "_value", state.value)
-        with open(iter_path, "w") as f:
-            f.write(str(it))
+        save_all(it, state.policy, state.value)
         print(f"checkpointed {args.out}_* at iter {it}", flush=True)
 
     state = az.train(
@@ -67,10 +88,7 @@ def main():
         temp_moves=args.temp_moves, updates_per_iter=args.updates_per_iter,
         start_iter=start_iter, checkpoint_fn=checkpoint,
     )
-    checkpoints.save_variables(args.out + "_policy", state.policy)
-    checkpoints.save_variables(args.out + "_value", state.value)
-    with open(iter_path, "w") as f:
-        f.write(str(start_iter + args.iters))
+    save_all(start_iter + args.iters, state.policy, state.value)
     print(f"saved {args.out}_policy and {args.out}_value")
 
 
