@@ -175,7 +175,10 @@ def main():
             if m:
                 rows.append(
                     row(
-                        "az_r4 (raw policy)",
+                        # include the gen name so a multi-gen curve file
+                        # can't produce indistinguishable duplicate rows
+                        # (ADVICE r4 #5)
+                        f"az_r4 {m.group(1)} (raw policy)",
                         int(m.group(2)),
                         int(m.group(3)),
                         "AZ loop seeded from policy_8",

@@ -160,9 +160,14 @@ def main():
     f_light = max(f_step - f_net, 0.0)
     b_light = max(b_step - b_net, 0.0)
     n_eval = -(-args.rollouts // cfg.eval_every) + 1  # + init eval
-    n_light = args.rollouts - (n_eval - 1)
+    # One consistent step count for FLOPs and bytes (ADVICE r4 #4): every
+    # one of the `rollouts` steps executes the light descend/backprop work,
+    # and n_eval net forwards run on top (eval-cadence steps + the init
+    # eval).  NOTE the subtraction above assumes cost_analysis counts BOTH
+    # lax.cond branches of the step together, so f_step/b_step already
+    # include one net forward; printed below so a reviewer can recompute.
     f_move_exec = n_eval * f_net + args.rollouts * f_light
-    b_move_exec = n_eval * (b_net + b_light) + n_light * b_light
+    b_move_exec = n_eval * b_net + args.rollouts * b_light
 
     print(f"backend={jax.default_backend()} batch={B} "
           f"rollouts={args.rollouts} eval_every={cfg.eval_every} "
@@ -185,6 +190,9 @@ def main():
           f"games/min/chip at 80 moves ~= {B * 60 / (t_move * 80):,.1f}")
     print(f"(static one-step cost for reference: {f_move / 1e9:.2f} GFLOPs "
           f"/ {b_move / 1e6:.1f} MB — loop bodies counted once)")
+    print(f"(executed-totals model: {args.rollouts} light-step executions "
+          f"+ {n_eval} net forwards; light cost = static step minus net "
+          f"forward, which assumes cost_analysis sums both cond branches)")
 
 
 if __name__ == "__main__":
