@@ -68,6 +68,10 @@ def run_bench(on_tpu: bool) -> dict:
 
     if on_tpu:
         batch, n_moves, n_rollouts = 1024, 80, 400
+        # BASELINE.json config 4 runs 4096 parallel games; the batch-scaling
+        # variant (VERDICT r4 #9) measures whether g/min/chip is still
+        # linear in HBM at 4x the headline batch.
+        batch = int(os.environ.get("BOKEGO_BENCH_BATCH", batch))
     else:
         batch, n_moves, n_rollouts = 8, 4, 8
 

@@ -31,6 +31,10 @@ run /tmp/r4/bench.txt python -u bench.py
 # 1b. Headline A/B: bf16-stored params (casts paid once, not per eval).
 run /tmp/r4/bench_bf16.txt env BOKEGO_BENCH_DTYPE=bf16 python -u bench.py
 
+# 1c. Batch-scaling variant: BASELINE.json config 4's 4096 parallel games
+#     (VERDICT r4 #9) — is g/min/chip still linear in HBM at 4x batch?
+run /tmp/r4/bench_b4096.txt env BOKEGO_BENCH_BATCH=4096 python -u bench.py
+
 # 2. MFU + roofline (VERDICT #4).
 run /tmp/r4/mfu.txt python -u tools/mfu_report.py
 
