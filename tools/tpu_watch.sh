@@ -4,9 +4,9 @@
 # Probes the axon TPU backend every PROBE_INTERVAL seconds in a killable
 # subprocess (a wedged PJRT init cannot be interrupted in-process).  On
 # recovery it runs the idempotent measurement queue
-# tools/run_r4_tpu_queue.sh, then copies every /tmp/r4 artifact into
-# data/training_logs/r5_tpu/ so a later commit (or the driver's
-# end-of-round commit) preserves them even if the session dies.
+# tools/run_r4_tpu_queue.sh, copies every /tmp/r4 artifact into
+# data/training_logs/r5_tpu/, and COMMITS the measurement outputs so a
+# session death after the queue loses nothing (VERDICT r4 task 1).
 #
 # Conventions:
 #   pid file : /tmp/tpu_watch.pid   (one watcher at a time; stop with
@@ -48,6 +48,13 @@ while true; do
     mkdir -p data/training_logs/r5_tpu
     cp -f /tmp/r4/* data/training_logs/r5_tpu/ 2>/dev/null
     note "artifacts copied to data/training_logs/r5_tpu/"
+    # Commit ONLY the measurement outputs (never the whole tree — the
+    # builder session may have unrelated work in progress).
+    git add data/training_logs data/matches_r3 data/weights 2>/dev/null
+    git commit -q \
+      -m "TPU queue artifacts (bench, MFU, serving, strength, training)" \
+      -- data/training_logs data/matches_r3 data/weights 2>/dev/null \
+      && note "artifacts committed" || note "commit skipped (nothing new)"
     exit 0
   fi
   note "still down"
