@@ -162,6 +162,7 @@ def test_analyze_stream(engine):
     assert tail == "\n"
 
 
+@pytest.mark.slow
 def test_forest_mode():
     eng = GTPEngine(
         fake_evaluator(),
@@ -297,6 +298,7 @@ def test_out_of_turn_illegal_play_is_atomic():
     assert eng.send("genmove w").startswith("=")
 
 
+@pytest.mark.slow
 def test_leaf_parallel_engine_wiring():
     """--leaf-batch K routes genmove through leafpar.run_search_k: rollout
     accounting (root visits), subtree reuse, and forest composition all

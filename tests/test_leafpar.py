@@ -96,6 +96,7 @@ def test_k1_matches_sequential_bitwise(ev_fn):
 
 @pytest.mark.parametrize("K", [4, 8])
 @pytest.mark.parametrize("ev_fn", [fake_evaluator, _stones_eval])
+@pytest.mark.slow
 def test_k_parallel_invariants(ev_fn, K):
     """K>1: virtual losses net out exactly and the tree stays consistent."""
     n = 64
@@ -179,6 +180,7 @@ def _peaked_eval():
     )
 
 
+@pytest.mark.slow
 def test_k_parallel_matches_sequential_distribution():
     """At equal rollouts, leaf-parallel visit mass lands where sequential
     puts it (same PUCT math; divergence only from in-batch staleness):
@@ -201,6 +203,7 @@ def test_k_parallel_matches_sequential_distribution():
     assert abs(share_seq - share_par) < 0.2, (share_seq, share_par)
 
 
+@pytest.mark.slow
 def test_simulation_mode_smoke():
     """λ-mixed (--simulate) leaf-parallel step traces and counts rollouts."""
     cfg = SearchConfig(

@@ -13,9 +13,12 @@ import pytest
 from bokego_tpu import sgf
 from bokego_tpu.gtp.process import gtp_match
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("BOKEGO_SKIP_SLOW"), reason="BOKEGO_SKIP_SLOW set"
-)
+pytestmark = [
+    pytest.mark.slow,  # full e2e subprocess matches (~90s)
+    pytest.mark.skipif(
+        os.environ.get("BOKEGO_SKIP_SLOW"), reason="BOKEGO_SKIP_SLOW set"
+    ),
+]
 
 
 def test_self_match(tmp_path):

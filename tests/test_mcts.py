@@ -183,6 +183,7 @@ def test_batched_search_runs():
         assert legal[b, int(actions[b])]
 
 
+@pytest.mark.slow
 def test_simulation_mode_smoke():
     """--simulate parity config: sims mixed with value net (λ=0.5)."""
     B = 2
@@ -223,6 +224,7 @@ def test_advance_root_subtree_reuse():
     assert not bool(ok2[0])
 
 
+@pytest.mark.slow
 def test_fused_eval_path_matches_unfused():
     """net_evaluator's fused leaf_analysis path == the states-level path."""
     from bokego_tpu.models import init_policy, init_value
@@ -252,6 +254,7 @@ def test_fused_eval_path_matches_unfused():
 # Tree compaction (the reference's _prune, mcts.py:236-255, array-style)
 
 
+@pytest.mark.slow
 def test_compact_preserves_search():
     """compact() relabels slots but not structure: invariants hold and a
     search continued after compaction produces identical root-child visit
@@ -299,6 +302,7 @@ def test_compact_preserves_search():
     )
 
 
+@pytest.mark.slow
 def test_long_game_never_stalls_on_pool():
     """VERDICT round-2 #6 done-criterion: a served game at expand_thresh=3
     with a bounded pool keeps searching to budget on every move — the

@@ -1,6 +1,7 @@
 """Determinism, metrics, coordinates, gnugo bridge fallbacks, CLI."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -10,6 +11,7 @@ from bokego_tpu.search import playout as po
 from bokego_tpu.utils.metrics import Metrics
 
 
+@pytest.mark.slow
 def test_selfplay_determinism():
     """Same seed => identical self-play stream (SURVEY.md §5: JAX purity
     replaces the reference's deliberate hogwild races)."""

@@ -59,6 +59,7 @@ def test_sl_sharded_step():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 

@@ -22,6 +22,7 @@ def _run(cfg, n_rollouts, batch=8, seed=0):
     return trees
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("thresh", [100, 3])
 def test_kernel_matches_xla_path(thresh):
     """With eval_every=1... the kernel path uses the same delayed-valuation

@@ -188,6 +188,7 @@ def test_eye_detection_matches_oracle():
             assert eyes[p] == g.eye_color(p), f"eye mismatch at {p}"
 
 
+@pytest.mark.slow
 def test_batched_step_matches_single():
     B = 16
     rng = np.random.default_rng(3)

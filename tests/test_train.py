@@ -74,6 +74,7 @@ def test_sl_value_step(tmp_path):
     assert state.epoch == 1
 
 
+@pytest.mark.slow
 def test_reinforce_epoch_smoke():
     variables = init_policy(jax.random.PRNGKey(0))
     opp = init_policy(jax.random.PRNGKey(1))
@@ -89,6 +90,7 @@ def test_reinforce_epoch_smoke():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_genvals_generate_and_csv(tmp_path):
     sl_vars = init_policy(jax.random.PRNGKey(0))
     samples = genvals.generate(
@@ -110,6 +112,7 @@ def test_genvals_generate_and_csv(tmp_path):
     assert ds.is_value and len(ds) == 8 * len(rows)
 
 
+@pytest.mark.slow
 def test_packed_dataset_matches_legacy_csv_loader(tmp_path):
     """PackedDataset (raw positions + on-device featurization) must produce
     byte-identical feature planes and targets to the legacy load_csv path."""
@@ -182,6 +185,7 @@ def test_checkpoint_roundtrip_and_pool(tmp_path):
     assert nid in (0, 1)
 
 
+@pytest.mark.slow
 def test_gendata_policy_rows(tmp_path):
     from bokego_tpu.train import gendata
 
@@ -204,6 +208,7 @@ def test_gendata_policy_rows(tmp_path):
     assert len(ds) == 8 * len(rows)
 
 
+@pytest.mark.slow
 def test_trajectory_to_packed_matches_csv_path(tmp_path):
     """The vectorized packed path agrees with the CSV path row-for-row
     (on the rows the CSV schema can represent — it drops post-pass
@@ -245,6 +250,7 @@ def test_trajectory_to_packed_matches_csv_path(tmp_path):
         np.testing.assert_array_equal(tgt_k, data.d4_apply_moves(tgt_0, k))
 
 
+@pytest.mark.slow
 def test_alphazero_loop_smoke():
     """Closed AZ loop: search self-play targets -> one update each net."""
     from bokego_tpu.config import SearchConfig
@@ -264,6 +270,7 @@ def test_alphazero_loop_smoke():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_pack_csv_to_shards_matches_pack_csv(tmp_path):
     """The constant-memory streaming packer produces the same packed rows
     as the whole-file pack_csv, just split into shards."""
