@@ -156,8 +156,56 @@ def run_bench(on_tpu: bool) -> dict:
     return out
 
 
+def _queue_artifact() -> dict | None:
+    """A real-TPU bench JSON already measured this round by the recovery
+    queue (tools/run_r4_tpu_queue.sh), if one exists.
+
+    The driver's snapshot bench can land while the queue still owns the
+    chip (ONE TPU process at a time — a second init wedges the tunnel) or
+    mid-outage; in both cases the queue's committed measurement IS this
+    round's number and re-measuring would either collide or report a CPU
+    smoke despite a TPU result existing.  Reused verbatim with explicit
+    ``source`` provenance; never reuses smoke/error artifacts.
+    """
+    if (
+        os.environ.get("BOKEGO_BENCH_FRESH")  # escape hatch: force re-measure
+        or os.environ.get("BOKEGO_BENCH_DTYPE")  # queue A/B variants must
+        or os.environ.get("BOKEGO_BENCH_BATCH")  # never reuse the default run
+    ):
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in (
+        os.path.join(here, "data/training_logs/r5_tpu/bench.txt"),
+        "/tmp/r4/bench.txt",
+    ):
+        try:
+            lines = [l.strip() for l in open(path) if l.strip()]
+        except OSError:
+            continue
+        for line in reversed(lines):
+            try:
+                out = json.loads(line)
+            except ValueError:
+                continue
+            if (
+                isinstance(out, dict)
+                and out.get("unit") == "games/min/chip"
+                and out.get("vs_baseline") is not None
+                and not out.get("smoke")
+                and "error" not in out
+                and "cpu" not in out.get("metric", "")
+            ):
+                out["source"] = f"queue artifact {path}"
+                return out
+    return None
+
+
 def main():
     try:
+        reused = _queue_artifact()
+        if reused is not None:
+            print(json.dumps(reused))
+            return
         on_tpu = _probe_tpu()
         out = run_bench(on_tpu)
     except Exception as e:  # noqa: BLE001 — structured error beats rc=1

@@ -74,3 +74,56 @@ def test_cli_parser():
 
     args = build_parser().parse_args(["-t", "5", "--simulate", "--forest", "3"])
     assert args.t == 5.0 and args.simulate and args.forest == 3
+
+
+def test_bench_queue_artifact_reuse(monkeypatch):
+    """bench.py reuses a same-round real-TPU queue measurement (with
+    provenance) instead of colliding with the queue on the one chip, and
+    never reuses smoke/error artifacts or bypasses the A/B variants."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+
+    good = {
+        "metric": "selfplay games/min/chip (... backend tpu)",
+        "value": 2100.0,
+        "unit": "games/min/chip",
+        "vs_baseline": 3.36,
+    }
+    os.makedirs("/tmp/r4", exist_ok=True)
+    p = "/tmp/r4/bench.txt"  # the queue's stage-1 artifact path
+    bak = open(p).read() if os.path.exists(p) else None
+    try:
+        with open(p, "w") as f:
+            f.write("== log noise ==\n" + json.dumps(good) + "\n")
+        got = bench._queue_artifact()
+        assert got is not None and got["value"] == 2100.0
+        assert "source" in got
+        # smoke artifacts are never reused
+        with open(p, "w") as f:
+            f.write(json.dumps(dict(good, vs_baseline=None, smoke=True)) + "\n")
+        assert bench._queue_artifact() is None
+        # error artifacts are never reused
+        with open(p, "w") as f:
+            f.write(json.dumps(dict(good, error="boom")) + "\n")
+        assert bench._queue_artifact() is None
+        # A/B env overrides and the escape hatch disable reuse
+        with open(p, "w") as f:
+            f.write(json.dumps(good) + "\n")
+        monkeypatch.setenv("BOKEGO_BENCH_DTYPE", "bf16")
+        assert bench._queue_artifact() is None
+        monkeypatch.delenv("BOKEGO_BENCH_DTYPE")
+        monkeypatch.setenv("BOKEGO_BENCH_BATCH", "4096")
+        assert bench._queue_artifact() is None
+        monkeypatch.delenv("BOKEGO_BENCH_BATCH")
+        monkeypatch.setenv("BOKEGO_BENCH_FRESH", "1")
+        assert bench._queue_artifact() is None
+    finally:
+        if bak is None:
+            os.remove(p)
+        else:
+            with open(p, "w") as f:
+                f.write(bak)
