@@ -292,3 +292,40 @@ def test_pack_csv_to_shards_matches_pack_csv(tmp_path):
             getattr(whole, field),
         )
     assert all(q.is_value == whole.is_value for q in parts)
+
+
+@pytest.mark.slow
+def test_alphazero_cli_combined_checkpoint_resume(tmp_path):
+    """bin/alphazero.py saves policy+value+iter as ONE atomic orbax
+    payload ({out}_ckpt) and --resume prefers it over the legacy split
+    layout, so a crash mid-checkpoint can never hand resume a
+    mixed-generation pair (ADVICE r4 #3)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "az")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BOKEGO_TPU_PLATFORM="cpu")
+    base = [
+        sys.executable, os.path.join(repo, "bin/alphazero.py"),
+        "--iters", "1", "--batch", "2", "--moves", "4", "--rollouts", "4",
+        "--save-every", "99", "-o", out,
+    ]
+    r1 = subprocess.run(
+        base, env=env, capture_output=True, text=True, timeout=400
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    # the combined payload exists and carries all three pieces
+    assert os.path.isdir(out + "_ckpt")
+    from bokego_tpu.train import checkpoints
+
+    payload = checkpoints.load_checkpoint(out + "_ckpt")["variables"]
+    assert set(payload) == {"policy", "value", "iter"}
+    assert int(payload["iter"]) == 1
+    # --resume picks the combined checkpoint (not the legacy split dirs)
+    r2 = subprocess.run(
+        base + ["--resume"], env=env, capture_output=True, text=True,
+        timeout=400,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert f"resuming from {out}_ckpt at iter 1" in r2.stdout
